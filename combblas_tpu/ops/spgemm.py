@@ -1,0 +1,269 @@
+"""Local (single-block) semiring SpGEMM: C = A ·_sr B.
+
+TPU-native replacement for the reference's per-process multiply kernels
+(``mtSpGEMM.h:214`` LocalHybridSpGEMM — per-column heap/hash accumulation under
+OpenMP) and its symbolic estimators (``estimateFLOP`` ``mtSpGEMM.h:1058``,
+``estimateNNZ_Hash`` ``:807``).  Heaps and hash tables are scalar-serial and map
+terribly onto a vector machine, so the design here is the ESC scheme
+(expand -> sort -> compress), which is bandwidth-bound and fully VPU-parallel:
+
+1. *expand*: every product a_ik * b_kj becomes one slot of a flat buffer; the
+   slot -> (A-nonzero, B-offset) mapping is a vectorized searchsorted over the
+   per-nonzero FLOP prefix sum (the same quantity the reference's symbolic pass
+   computes).
+2. *sort*: one multi-key ``lax.sort`` by (i, j) — int32 keys, no packing.
+3. *compress*: flag + prefix-sum + segment reduction with the semiring's add
+   (see :func:`combblas_tpu.ops.coo.compress_sorted`).
+
+Buffer capacities are static (jit) and chosen by the host-side symbolic helpers
+below — the analogue of the reference's estimate-then-allocate protocol.
+For large problems :func:`spgemm_rowchunked` processes disjoint row slabs of A
+sequentially (``lax.map``), bounding peak memory the same way the reference's
+memory-constrained path splits work (``ParFriends.h:450`` MemEfficientSpGEMM
+splits B's columns; row slabs of A are the better fit here because slabs produce
+disjoint output rows — no cross-slab merge is ever needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.semiring import PLUS_TIMES, Semiring
+
+__all__ = [
+    "spgemm",
+    "spgemm_flops",
+    "spgemm_bounds",
+    "spgemm_rowchunked",
+]
+
+
+def expand_products(
+    a_row: jax.Array,
+    a_col: jax.Array,
+    a_val: jax.Array,
+    a_valid: jax.Array,
+    b_col: jax.Array,
+    b_val: jax.Array,
+    rp_lo: jax.Array,
+    rp_hi: jax.Array,
+    sr: Semiring,
+    flops_cap: int,
+    out_sentinels: Tuple[int, int],
+):
+    """Expansion phase on raw arrays: materialize all products (i, j, v).
+
+    ``rp_lo/rp_hi`` give, per inner index k, the [start, end) range of B's
+    entries for row k inside the ``b_col/b_val`` buffers — for a plain SpCOO
+    these are row_ptr[:-1] / row_ptr[1:], but SUMMA passes ranges into a
+    *concatenated multi-block panel* (see parallel/summa.py), which is why the
+    two arrays are separate.  Returns sentinel-padded (i, j, v) of length
+    ``flops_cap`` plus the traced count of valid products.
+    """
+    m_sent, n_sent = out_sentinels
+    kk = rp_lo.shape[0]
+    acol = jnp.minimum(a_col, kk - 1)
+    cnt = jnp.where(a_valid, rp_hi[acol] - rp_lo[acol], 0)
+    offs = jnp.cumsum(cnt)  # inclusive prefix
+    total = offs[-1]
+    starts = offs - cnt
+    t = jnp.arange(flops_cap, dtype=jnp.int32)
+    src = jnp.searchsorted(offs, t, side="right").astype(jnp.int32)
+    src = jnp.minimum(src, a_row.shape[0] - 1)
+    within = t - starts[src]
+    b_idx = jnp.minimum(
+        rp_lo[jnp.minimum(a_col[src], kk - 1)] + within, b_col.shape[0] - 1
+    )
+    valid = t < total
+    i = jnp.where(valid, a_row[src], m_sent)
+    j = jnp.where(valid, b_col[b_idx], n_sent)
+    v = jnp.where(valid, sr.mul(a_val[src], b_val[b_idx]), 0)
+    return i, j, v, total
+
+
+def _expand(a: SpCOO, b: SpCOO, b_rp: jax.Array, sr: Semiring, flops_cap: int):
+    """Expansion for whole local operands (see :func:`expand_products`)."""
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, (a.shape, b.shape)
+    return expand_products(
+        a.row,
+        a.col,
+        a.val,
+        a.mask(),
+        b.col,
+        b.val,
+        b_rp[:-1],
+        b_rp[1:],
+        sr,
+        flops_cap,
+        (m, n),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "flops_cap", "out_capacity"))
+def spgemm(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    flops_cap: int,
+    out_capacity: int,
+) -> SpCOO:
+    """Single-pass ESC SpGEMM.  ``flops_cap`` must bound the true product count
+    (see :func:`spgemm_bounds`); producing more than ``flops_cap`` products is
+    silently truncated, so callers use the host-side bound helpers.
+    """
+    b_rp = b.row_ptr()
+    i, j, v, total = _expand(a, b, b_rp, sr, flops_cap)
+    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
+    return compress_sorted(
+        i, j, v, total, (a.shape[0], b.shape[1]), sr=sr, out_capacity=out_capacity
+    )
+
+
+@jax.jit
+def spgemm_flops(a: SpCOO, b: SpCOO) -> jax.Array:
+    """Exact number of semiring multiplications for A·B (the reference's
+    ``EstimateFLOP``, ``ParFriends.h:356`` / ``mtSpGEMM.h:1058``)."""
+    k = a.shape[1]
+    b_rp = b.row_ptr()
+    acol = jnp.minimum(a.col, k)
+    cnt = jnp.where(a.mask(), b_rp[acol + 1] - b_rp[acol], 0)
+    return jnp.sum(cnt)
+
+
+def spgemm_bounds(a: SpCOO, b: SpCOO) -> Tuple[int, int]:
+    """Host-side (flops_cap, out_capacity) for :func:`spgemm`.
+
+    Pulls the exact FLOP count to host once (cheap scalar transfer) and rounds
+    to a power of two so repeated calls with similar sizes reuse the compiled
+    kernel.  out_capacity <= flops since compression only shrinks.
+    """
+    flops = int(spgemm_flops(a, b))
+    cap = max(8, 1 << int(np.ceil(np.log2(max(flops, 1)))))
+    return cap, cap
+
+
+def _slab_bounds_host(a: SpCOO, b: SpCOO, num_slabs: int) -> Tuple[int, int]:
+    """Max per-slab flops over row slabs of A (host side)."""
+    m = a.shape[0]
+    slab_rows = -(-m // num_slabs)
+    a_rp = np.asarray(a.row_ptr())
+    b_rp = np.asarray(b.row_ptr())
+    acol = np.minimum(np.asarray(a.col), a.shape[1] - 1)
+    cnt = np.where(np.asarray(a.mask()), b_rp[acol + 1] - b_rp[acol], 0)
+    coffs = np.concatenate([[0], np.cumsum(cnt)])
+    worst = 0
+    for s in range(num_slabs):
+        lo = a_rp[min(s * slab_rows, m)]
+        hi = a_rp[min((s + 1) * slab_rows, m)]
+        worst = max(worst, int(coffs[hi] - coffs[lo]))
+    cap = max(8, 1 << int(np.ceil(np.log2(max(worst, 1)))))
+    return cap, slab_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "num_slabs", "slab_rows", "flops_cap", "out_capacity"),
+)
+def spgemm_rowchunked(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    num_slabs: int,
+    slab_rows: int,
+    flops_cap: int,
+    out_capacity: int,
+) -> SpCOO:
+    """Memory-bounded ESC SpGEMM over disjoint row slabs of A.
+
+    Each slab s multiplies A[s*slab_rows:(s+1)*slab_rows, :] by B with a
+    per-slab expansion buffer of ``flops_cap`` slots.  Because slabs own
+    disjoint output rows and run in increasing row order, the concatenated
+    slab outputs are already globally (row, col)-sorted except for interleaved
+    padding — the final compaction is a single sentinel-dropping scatter, not a
+    sort.  Peak memory ~ flops_cap instead of total FLOPs.
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    b_rp = b.row_ptr()
+    a_rp = a.row_ptr()
+    slab_out_cap = min(flops_cap, out_capacity)
+
+    def do_slab(s):
+        lo = a_rp[jnp.minimum(s * slab_rows, m)]
+        hi = a_rp[jnp.minimum((s + 1) * slab_rows, m)]
+        # Gather A's nnz range [lo, hi) to the front of a cap-sized window.
+        t = jnp.arange(a.capacity, dtype=jnp.int32)
+        src = jnp.minimum(lo + t, a.capacity - 1)
+        sub = SpCOO(
+            row=a.row[src],
+            col=a.col[src],
+            val=a.val[src],
+            nnz=(hi - lo).astype(jnp.int32),
+            shape=a.shape,
+        )
+        i, j, v, total = _expand(sub, b, b_rp, sr, flops_cap)
+        i, j, v = jax.lax.sort((i, j, v), num_keys=2)
+        c = compress_sorted(i, j, v, total, (m, n), sr=sr, out_capacity=slab_out_cap)
+        return c.row, c.col, c.val, c.nnz
+
+    rows, cols, vals, nnzs = jax.lax.map(
+        do_slab, jnp.arange(num_slabs, dtype=jnp.int32)
+    )
+    # Compact: slab s's entries go to positions [prefix[s], prefix[s] + nnz[s]).
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnzs).astype(jnp.int32)]
+    )
+    total_nnz = prefix[-1]
+    pos_in = jnp.broadcast_to(
+        jnp.arange(slab_out_cap, dtype=jnp.int32)[None, :], (num_slabs, slab_out_cap)
+    )
+    dest = prefix[:-1][:, None] + pos_in
+    valid = pos_in < nnzs[:, None]
+    dest = jnp.where(valid, dest, out_capacity)  # dropped by scatter mode
+    out_row = jnp.full((out_capacity,), m, jnp.int32).at[dest.ravel()].set(
+        rows.ravel(), mode="drop"
+    )
+    out_col = jnp.full((out_capacity,), n, jnp.int32).at[dest.ravel()].set(
+        cols.ravel(), mode="drop"
+    )
+    out_val = jnp.zeros((out_capacity,), vals.dtype).at[dest.ravel()].set(
+        vals.ravel(), mode="drop"
+    )
+    return SpCOO(
+        row=out_row,
+        col=out_col,
+        val=out_val,
+        nnz=total_nnz.astype(jnp.int32),
+        shape=(m, n),
+    )
+
+
+def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
+                max_flops_cap: int = 1 << 24, out_capacity: int | None = None) -> SpCOO:
+    """Host-driven dispatcher: single-pass when the expansion fits, row-chunked
+    otherwise.  Convenience wrapper used by apps and tests."""
+    flops_cap, oc = spgemm_bounds(a, b)
+    if out_capacity is not None:
+        out_cap = out_capacity
+    else:
+        dense_cap = max(8, 1 << int(np.ceil(np.log2(max(a.shape[0] * b.shape[1], 1)))))
+        out_cap = min(oc, dense_cap)
+    if flops_cap <= max_flops_cap:
+        return spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
+    num_slabs = -(-flops_cap // max_flops_cap) * 2
+    slab_cap, slab_rows = _slab_bounds_host(a, b, num_slabs)
+    return spgemm_rowchunked(
+        a, b, sr,
+        num_slabs=num_slabs, slab_rows=slab_rows,
+        flops_cap=slab_cap, out_capacity=out_cap,
+    )
