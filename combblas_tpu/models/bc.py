@@ -83,8 +83,8 @@ def betweenness_centrality(
             fringes.append(fringe)
         # backward: deepest level first
         bcu = jnp.ones((n, b), jnp.float32)
-        for fringe_d in reversed(fringes[1:]):
-            bcu = _backward_step(a, at, fringe_d, nsp, bcu)
+        for depth in range(len(fringes) - 1, 0, -1):
+            bcu = _backward_step(a, fringes[depth - 1], fringes[depth], nsp, bcu)
         # accumulate (exclude the +1 self term and source columns)
         contrib = np.asarray((bcu - 1.0) * (nsp > 0), np.float64).sum(axis=1)
         contrib[batch] -= np.asarray(

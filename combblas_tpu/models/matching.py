@@ -1,0 +1,183 @@
+"""Bipartite matchings — greedy maximal and augmenting-path maximum.
+
+TPU-native counterpart of ``Applications/BipartiteMatchings/``:
+``BPMaximalMatching.h:24`` (greedy/Karp-Sipser maximal matching via
+SpMV-style propose/accept rounds) and ``BPMaximumMatching.cpp:207``
+(Hopcroft-Karp-style maximum matching: BFS forests from unmatched rows over
+alternating paths via ``SpMV``, then augmentation).
+
+Rows and columns of the (m, n) sparse matrix are the two vertex classes.
+Propose/accept rounds are segment-min reductions over the edge list (one VPU
+pass each).  The maximum-matching BFS phases are jitted; path augmentation
+walks the discovered parent pointers (host loop, path-length bounded — the
+reference's augment step is likewise a pointer walk, ``BPMaximumMatching.cpp``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from combblas_tpu.ops.coo import SpCOO
+
+__all__ = ["bp_maximal_matching", "bp_maximum_matching", "is_valid_matching"]
+
+
+@jax.jit
+def _propose_accept(a: SpCOO, mate_row, mate_col):
+    """One round: each unmatched row proposes its min unmatched neighbor
+    column; each column accepts its min proposing row.  Returns updated
+    (mate_row, mate_col, progressed)."""
+    m, n = a.shape
+    valid = a.mask()
+    r = jnp.minimum(a.row, m - 1)
+    c = jnp.minimum(a.col, n - 1)
+    open_edge = valid & (mate_row[r] < 0) & (mate_col[c] < 0)
+    # row -> min open neighbor col
+    prop = jax.ops.segment_min(
+        jnp.where(open_edge, c, n), jnp.where(valid, a.row, m), num_segments=m
+    )
+    has_prop = prop < n
+    # col <- min proposing row
+    prop_c = jnp.where(has_prop, prop, n)
+    acc = jax.ops.segment_min(
+        jnp.where(has_prop, jnp.arange(m, dtype=jnp.int32), m),
+        prop_c,
+        num_segments=n + 1,
+    )[:n]
+    rows_idx = jnp.arange(m, dtype=jnp.int32)
+    won = has_prop & (acc[jnp.minimum(prop, n - 1)] == rows_idx)
+    new_mate_row = jnp.where(won, prop, mate_row)
+    new_mate_col = mate_col.at[jnp.where(won, prop, n)].set(
+        jnp.where(won, rows_idx, -1), mode="drop"
+    )
+    return new_mate_row, new_mate_col, jnp.any(won)
+
+
+def bp_maximal_matching(a: SpCOO) -> Tuple[jax.Array, jax.Array]:
+    """Greedy maximal matching: (mate_row[m], mate_col[n]), -1 = unmatched.
+    Equivalent to the reference's ``MaximalMatching`` greedy init
+    (``BPMaximalMatching.h:24``)."""
+    m, n = a.shape
+    mate_row = jnp.full((m,), -1, jnp.int32)
+    mate_col = jnp.full((n,), -1, jnp.int32)
+    while True:
+        mate_row, mate_col, progressed = _propose_accept(a, mate_row, mate_col)
+        if not bool(progressed):
+            break
+    return mate_row, mate_col
+
+
+@jax.jit
+def _alt_bfs(a: SpCOO, mate_row, mate_col):
+    """Alternating-path BFS from all unmatched rows (one Hopcroft-Karp phase).
+
+    Returns (parent_col[n]: discovering row or -1, reachable free cols mask).
+    Row layers advance through matched-column edges only, so every discovered
+    column lies on an alternating path from a free row.
+    """
+    m, n = a.shape
+    valid = a.mask()
+    r = jnp.minimum(a.row, m - 1)
+    c = jnp.minimum(a.col, n - 1)
+
+    def cond(s):
+        frontier, parent_col, visited_col, progressed = s
+        return progressed
+
+    def body(s):
+        frontier, parent_col, visited_col, _ = s
+        active = valid & frontier[r] & ~visited_col[c]
+        # each newly reached col records one discovering row (max wins; any is fine)
+        disc = jax.ops.segment_max(
+            jnp.where(active, a.row, -1), jnp.where(active, a.col, n),
+            num_segments=n + 1,
+        )[:n]
+        newly = disc >= 0
+        parent_col = jnp.where(newly & (parent_col < 0), disc, parent_col)
+        visited_col = visited_col | newly
+        # advance through matched edges: next row frontier = mates of newly
+        # discovered *matched* columns
+        next_rows = jnp.where(newly, mate_col, -1)
+        frontier2 = jnp.zeros((m,), jnp.bool_).at[
+            jnp.where(next_rows >= 0, next_rows, m)
+        ].set(next_rows >= 0, mode="drop")
+        return frontier2, parent_col, visited_col, jnp.any(newly)
+
+    frontier0 = mate_row < 0
+    parent0 = jnp.full((n,), -1, jnp.int32)
+    visited0 = jnp.zeros((n,), jnp.bool_)
+    _, parent_col, visited_col, _ = jax.lax.while_loop(
+        cond, body, (frontier0, parent0, visited0, jnp.asarray(True))
+    )
+    free_cols = visited_col & (mate_col < 0)
+    return parent_col, free_cols
+
+
+def bp_maximum_matching(a: SpCOO) -> Tuple[jax.Array, jax.Array]:
+    """Maximum-cardinality matching: greedy init + augmenting phases
+    (``BPMaximumMatching.cpp:207`` pattern).  Each phase runs one jitted
+    alternating BFS and augments a vertex-disjoint set of the discovered
+    paths."""
+    mate_row, mate_col = bp_maximal_matching(a)
+    m, n = a.shape
+    mate_row = np.asarray(mate_row).copy()
+    mate_col = np.asarray(mate_col).copy()
+    # host copies of parent structure per phase
+    while True:
+        parent_col, free_cols = _alt_bfs(
+            a, jnp.asarray(mate_row), jnp.asarray(mate_col)
+        )
+        parent_col = np.asarray(parent_col)
+        free = np.nonzero(np.asarray(free_cols))[0]
+        if free.size == 0:
+            break
+        # row -> discovering col (for walking back through matched edges)
+        used_row = np.zeros(m, bool)
+        used_col = np.zeros(n, bool)
+        augmented = 0
+        for c0 in free:
+            # walk the path first to check disjointness
+            path = []
+            c = int(c0)
+            ok = True
+            while True:
+                r = int(parent_col[c])
+                if r < 0 or used_row[r] or used_col[c]:
+                    ok = False
+                    break
+                path.append((r, c))
+                prev_c = int(mate_row[r])
+                if prev_c < 0:
+                    break
+                c = prev_c
+            if not ok or not path:
+                continue
+            for r, c in path:
+                used_row[r] = True
+                used_col[c] = True
+            for r, c in path:
+                mate_row[r] = c
+                mate_col[c] = r
+            augmented += 1
+        if augmented == 0:
+            break
+    return jnp.asarray(mate_row), jnp.asarray(mate_col)
+
+
+def is_valid_matching(a_dense, mate_row, mate_col) -> bool:
+    """Host check: mates are consistent, edges exist."""
+    a_dense = np.asarray(a_dense)
+    mate_row = np.asarray(mate_row)
+    mate_col = np.asarray(mate_col)
+    for r, c in enumerate(mate_row):
+        if c >= 0:
+            if a_dense[r, c] == 0 or mate_col[c] != r:
+                return False
+    for c, r in enumerate(mate_col):
+        if r >= 0 and mate_row[r] != c:
+            return False
+    return True

@@ -1,0 +1,289 @@
+"""3D (split-layer, communication-avoiding) SpGEMM.
+
+TPU-native counterpart of ``Mult_AnXBn_SUMMA3D`` (``ParFriends.h:2919-3208``),
+``SpParMat3D`` (``SpParMat3D.cpp:187`` 2D->3D redistribution) and the
+standalone ``3DSpGEMM/`` suite (``SUMMALayer.h``, ``Reductions.h:36`` —
+per-layer SUMMA then an alltoall+multiway-merge reduction along the fiber).
+
+Mesh: ('l', 'r', 'c').  The inner dimension k is split across layers: layer t
+owns the k-range [t·k/l, (t+1)·k/l) of A's columns and B's rows.  Each layer
+runs the all-gather SUMMA locally (collectives stay inside the layer — that is
+the communication-avoiding point: row/col panel traffic shrinks by l while a
+single fiber reduction is added), then partial C blocks are reduced along 'l'.
+
+The fiber reduction here is an all_gather('l') + column-range mask + merge,
+landing each layer the column slice of C it owns (the reference's
+``CalculateColSplitDistributionOfLayer`` split).  An alltoall formulation
+(exactly ``Reductions.h:36``) sends 1/l the bytes but needs per-range padded
+chunks; planned optimization — the gather variant is correct and simple.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.ops.spgemm import expand_products
+from combblas_tpu.parallel.dist import DistSpMat, block_dims
+from combblas_tpu.parallel.grid import ProcGrid
+from combblas_tpu.parallel.summa import _panel_a, _panel_b_rp
+from combblas_tpu.semiring import PLUS_TIMES, Semiring
+
+__all__ = ["Dist3DSpMat", "summa3d_spgemm", "summa3d_bounds"]
+
+_SPEC3 = P("l", "r", "c", None)
+_NSPEC3 = P("l", "r", "c")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Dist3DSpMat:
+    """Layer-split distributed sparse matrix: (l, pr, pc, cap) block stacks.
+
+    ``split`` is the split dimension: 'col' (A operands — layer t holds the
+    t-th column range) or 'row' (B operands).  Block-local coordinates are
+    relative to the per-layer block shape.
+    """
+
+    row: jax.Array
+    col: jax.Array
+    val: jax.Array
+    nnz: jax.Array  # (l, pr, pc)
+    gshape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    grid: ProcGrid = dataclasses.field(metadata=dict(static=True))
+    split: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def layers(self) -> int:
+        return self.grid.layers
+
+    def layer_shape(self) -> Tuple[int, int]:
+        """Per-layer global (sub)matrix shape before 2D blocking."""
+        m, n = self.gshape
+        if self.split == "col":
+            return m, -(-n // self.layers)
+        if self.split == "row":
+            return -(-m // self.layers), n
+        # 'blockcol': layer t owns the t-th column slice of every 2D block
+        # (the reference's CalculateColSplitDistributionOfLayer layout).
+        mb, nb = block_dims(self.gshape, self.grid.grid2d())
+        return self.grid.grid2d().pr * mb, nb // self.layers * self.grid.grid2d().pc
+
+    def block_shape(self) -> Tuple[int, int]:
+        g2 = self.grid.grid2d()
+        if self.split == "blockcol":
+            mb, nb = block_dims(self.gshape, g2)
+            return mb, nb // self.layers
+        return block_dims(self.layer_shape(), g2)
+
+    @staticmethod
+    def from_dist2d(a: "DistSpMat | SpCOO", grid: ProcGrid, split: str,
+                    capacity: int | None = None) -> "Dist3DSpMat":
+        """Host-side 2D->3D redistribution (``SpParMat3D.cpp:187``): slice the
+        split dimension into l ranges, 2D-distribute each slice on the layer's
+        grid, stack along 'l'."""
+        assert grid.is3d
+        from combblas_tpu.parallel.dist import DistSpMat as D2
+
+        if isinstance(a, D2):
+            a = a.to_local()
+        nnz = int(a.nnz)
+        row = np.asarray(a.row)[:nnz]
+        col = np.asarray(a.col)[:nnz]
+        val = np.asarray(a.val)[:nnz]
+        m, n = a.shape
+        l = grid.layers
+        g2 = grid.grid2d()
+        if split == "col":
+            sb = -(-n // l)
+            which = col // sb
+            lr_, lc_ = row, col - which * sb
+            lshape = (m, sb)
+        else:
+            sb = -(-m // l)
+            which = row // sb
+            lr_, lc_ = row - which * sb, col
+            lshape = (sb, n)
+        layers = []
+        cap = 0
+        for t in range(l):
+            sel = which == t
+            d2 = D2.from_coo_arrays(
+                lr_[sel], lc_[sel], val[sel], lshape, g2, dtype=val.dtype
+            )
+            layers.append(d2)
+            cap = max(cap, d2.capacity)
+        cap = capacity or cap
+        R = np.stack([_pad_np(np.asarray(d.row), cap, d.block_shape()[0])
+                      for d in layers])
+        C = np.stack([_pad_np(np.asarray(d.col), cap, d.block_shape()[1])
+                      for d in layers])
+        V = np.stack([_pad_np(np.asarray(d.val), cap, 0) for d in layers])
+        N = np.stack([np.asarray(d.nnz) for d in layers])
+        sh = NamedSharding(grid.mesh, _SPEC3)
+        nsh = NamedSharding(grid.mesh, _NSPEC3)
+        return Dist3DSpMat(
+            row=jax.device_put(R, sh),
+            col=jax.device_put(C, sh),
+            val=jax.device_put(V, sh),
+            nnz=jax.device_put(N, nsh),
+            gshape=a.shape,
+            grid=grid,
+            split=split,
+        )
+
+    def to_local(self) -> SpCOO:
+        """Gather to one host SpCOO (tests; the reference's Convert2D check)."""
+        l = self.layers
+        g2 = self.grid.grid2d()
+        mb, nb = self.block_shape()
+        R = np.asarray(self.row)
+        C = np.asarray(self.col)
+        V = np.asarray(self.val)
+        N = np.asarray(self.nnz)
+        m, n = self.gshape
+        rows, cols, vals = [], [], []
+        nb_full = block_dims(self.gshape, g2)[1] if self.split == "blockcol" else None
+        for t in range(l):
+            for i in range(g2.pr):
+                for j in range(g2.pc):
+                    k = int(N[t, i, j])
+                    r = R[t, i, j, :k] + i * mb
+                    if self.split == "blockcol":
+                        c = C[t, i, j, :k] + j * nb_full + t * nb
+                    elif self.split == "col":
+                        c = C[t, i, j, :k] + j * nb + t * self.layer_shape()[1]
+                    else:
+                        c = C[t, i, j, :k] + j * nb
+                        r = r + t * self.layer_shape()[0]
+                    rows.append(r)
+                    cols.append(c)
+                    vals.append(V[t, i, j, :k])
+        return SpCOO.from_arrays(
+            np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+            (m, n), sum_duplicates=True,
+        )
+
+
+def _pad_np(x, cap, fill):
+    pr, pc, c0 = x.shape
+    if c0 == cap:
+        return x
+    out = np.full((pr, pc, cap), fill, x.dtype)
+    out[:, :, :c0] = x
+    return out
+
+
+def _summa3d_local(
+    ar, ac, av, an, br, bc, bv, bn,
+    *, sr, flops_cap, out_capacity, mb, nb, kb_a, kb_b, nlayers,
+):
+    """Per-device body: layer-local SUMMA + fiber all-gather merge."""
+    # layer-local panels (collectives on 'r'/'c' stay inside the layer)
+    ar_g = jax.lax.all_gather(ar.reshape(-1), "c")
+    ac_g = jax.lax.all_gather(ac.reshape(-1), "c")
+    av_g = jax.lax.all_gather(av.reshape(-1), "c")
+    an_g = jax.lax.all_gather(an.reshape(()), "c")
+    br_g = jax.lax.all_gather(br.reshape(-1), "r")
+    bc_g = jax.lax.all_gather(bc.reshape(-1), "r")
+    bv_g = jax.lax.all_gather(bv.reshape(-1), "r")
+    bn_g = jax.lax.all_gather(bn.reshape(()), "r")
+    k_panel = br_g.shape[0] * kb_b
+    pa_row, pa_col, pa_val, pa_valid = _panel_a(ar_g, ac_g, av_g, an_g, kb_a, k_panel)
+    rp_lo, rp_hi = _panel_b_rp(br_g, bn_g, kb_b)
+    i, j, v, total = expand_products(
+        pa_row, pa_col, pa_val, pa_valid,
+        bc_g.ravel(), bv_g.ravel(), rp_lo, rp_hi,
+        sr, flops_cap, (mb, nb),
+    )
+    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
+    part = compress_sorted(i, j, v, total, (mb, nb), sr=sr,
+                           out_capacity=out_capacity)
+    # ---- fiber reduction along 'l' (Reductions.h:36) ----
+    pr_row = jax.lax.all_gather(part.row, "l")  # (l, out_cap)
+    pr_col = jax.lax.all_gather(part.col, "l")
+    pr_val = jax.lax.all_gather(part.val, "l")
+    pr_nnz = jax.lax.all_gather(part.nnz, "l")
+    nb_split = nb // nlayers
+    t = jax.lax.axis_index("l")
+    lo, hi = t * nb_split, (t + 1) * nb_split
+    valid = (
+        (jnp.arange(out_capacity, dtype=jnp.int32)[None, :] < pr_nnz[:, None])
+        & (pr_col >= lo)
+        & (pr_col < hi)
+    )
+    rows = jnp.where(valid, pr_row, mb).ravel()
+    cols = jnp.where(valid, pr_col - lo, nb_split).ravel()
+    vals = jnp.where(valid, pr_val, 0).ravel()
+    rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    c = compress_sorted(rows, cols, vals, nvalid, (mb, nb_split), sr=sr,
+                        out_capacity=out_capacity)
+    return (
+        c.row.reshape(1, 1, 1, -1),
+        c.col.reshape(1, 1, 1, -1),
+        c.val.reshape(1, 1, 1, -1),
+        c.nnz.reshape(1, 1, 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "flops_cap", "out_capacity"))
+def summa3d_spgemm(
+    a: Dist3DSpMat,
+    b: Dist3DSpMat,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    flops_cap: int,
+    out_capacity: int,
+) -> Dist3DSpMat:
+    """C = A ·_sr B with A col-split and B row-split across layers.
+
+    Output is col-split across layers: layer t owns C's columns
+    [t·nb/l, (t+1)·nb/l) of each block — the reference's layer column split
+    (``SpParMat3D.cpp:576``)."""
+    assert a.grid == b.grid and a.grid.is3d
+    assert a.split == "col" and b.split == "row"
+    grid = a.grid
+    g2 = grid.grid2d()
+    assert g2.pr == g2.pc
+    mb, kb_a = a.block_shape()
+    kb_b, nb = b.block_shape()
+    l = grid.layers
+    assert nb % l == 0, "column block must split evenly across layers"
+    fn = functools.partial(
+        _summa3d_local,
+        sr=sr, flops_cap=flops_cap, out_capacity=out_capacity,
+        mb=mb, nb=nb, kb_a=kb_a, kb_b=kb_b, nlayers=l,
+    )
+    crow, ccol, cval, cnnz = shard_map(
+        fn,
+        mesh=grid.mesh,
+        in_specs=(_SPEC3, _SPEC3, _SPEC3, _NSPEC3) * 2,
+        out_specs=(_SPEC3, _SPEC3, _SPEC3, _NSPEC3),
+        check_vma=False,
+    )(a.row, a.col, a.val, a.nnz, b.row, b.col, b.val, b.nnz)
+    return Dist3DSpMat(
+        row=crow, col=ccol, val=cval, nnz=cnnz,
+        gshape=(a.gshape[0], b.gshape[1]), grid=grid, split="blockcol",
+    )
+
+
+def summa3d_bounds(a: Dist3DSpMat, b: Dist3DSpMat) -> Tuple[int, int]:
+    """Host-side per-device (flops_cap, out_capacity) — max layer-local panel
+    product count (conservative: computed from gathered host copies)."""
+    from combblas_tpu.ops.spgemm import spgemm_flops
+
+    al = a.to_local()
+    bl = b.to_local()
+    total = int(spgemm_flops(al, bl))
+    # total flops is a safe upper bound for any device's layer panel
+    cap = max(64, 1 << int(np.ceil(np.log2(max(total, 1)))))
+    return cap, cap

@@ -1,0 +1,129 @@
+"""Matchings, MIS, RCM, BC vs reference implementations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from combblas_tpu import SpCOO
+from tests.test_coo import rand_sparse
+
+
+def bipartite_graph(m, n, density, seed):
+    d = (rand_sparse(m, n, density, seed=seed) != 0).astype(np.float32)
+    return d
+
+
+def hungarian_max_matching_size(d):
+    """Reference maximum matching size via simple augmenting search (numpy)."""
+    m, n = d.shape
+    mate_col = np.full(n, -1)
+
+    def try_kuhn(r, seen):
+        for c in range(n):
+            if d[r, c] and not seen[c]:
+                seen[c] = True
+                if mate_col[c] < 0 or try_kuhn(mate_col[c], seen):
+                    mate_col[c] = r
+                    return True
+        return False
+
+    size = 0
+    for r in range(m):
+        if try_kuhn(r, np.zeros(n, bool)):
+            size += 1
+    return size
+
+
+def test_maximal_matching_valid_and_maximal():
+    from combblas_tpu.models.matching import bp_maximal_matching, is_valid_matching
+
+    d = bipartite_graph(12, 10, 0.3, 90)
+    mr, mc = bp_maximal_matching(SpCOO.from_dense(d))
+    mr, mc = np.asarray(mr), np.asarray(mc)
+    assert is_valid_matching(d, mr, mc)
+    # maximality: no edge between two unmatched vertices
+    for r in range(12):
+        for c in range(10):
+            if d[r, c] and mr[r] < 0 and mc[c] < 0:
+                raise AssertionError(f"not maximal: free edge ({r},{c})")
+
+
+def test_maximum_matching_cardinality():
+    from combblas_tpu.models.matching import bp_maximum_matching, is_valid_matching
+
+    for seed in (91, 92, 93):
+        d = bipartite_graph(14, 14, 0.18, seed)
+        mr, mc = bp_maximum_matching(SpCOO.from_dense(d))
+        mr = np.asarray(mr)
+        assert is_valid_matching(d, mr, np.asarray(mc))
+        got = int((mr >= 0).sum())
+        want = hungarian_max_matching_size(d)
+        assert got == want, (got, want)
+
+
+def test_luby_mis():
+    from combblas_tpu.models.mis import luby_mis
+
+    d = (rand_sparse(20, 20, 0.15, seed=94) != 0).astype(np.float32)
+    d = np.maximum(d, d.T)
+    np.fill_diagonal(d, 0)
+    mis = np.asarray(luby_mis(SpCOO.from_dense(d), jax.random.PRNGKey(0)))
+    # independence
+    assert not np.any(d[np.ix_(mis, mis)])
+    # maximality: every non-member has a member neighbor
+    for v in np.nonzero(~mis)[0]:
+        assert d[v][mis].any(), f"vertex {v} could join the MIS"
+
+
+def test_rcm_reduces_bandwidth():
+    from combblas_tpu.models.ordering import rcm_order
+
+    rng = np.random.default_rng(95)
+    n = 24
+    d = np.zeros((n, n), np.float32)
+    for _ in range(60):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            d[i, j] = d[j, i] = 1.0
+    a = SpCOO.from_dense(d)
+    order = np.asarray(rcm_order(a))
+    assert sorted(order.tolist()) == list(range(n))  # a permutation
+    perm = np.empty(n, int)
+    perm[order] = np.arange(n)
+    dp = d[np.ix_(order, order)]
+
+    def bandwidth(x):
+        ii, jj = np.nonzero(x)
+        return int(np.abs(ii - jj).max()) if ii.size else 0
+
+    assert bandwidth(dp) <= bandwidth(d)
+
+
+def test_betweenness_path_graph():
+    from combblas_tpu.models.bc import betweenness_centrality
+
+    # path 0-1-2-3-4: exact BC of middle vertex = 2*( pairs through it )
+    n = 5
+    d = np.zeros((n, n), np.float32)
+    for i in range(n - 1):
+        d[i, i + 1] = d[i + 1, i] = 1.0
+    bc = betweenness_centrality(SpCOO.from_dense(d), batch_size=5)
+    # directed-counts BC on undirected path: vertex v has (v)*(n-1-v) pairs
+    # in each direction
+    expect = np.array([2 * v * (n - 1 - v) for v in range(n)], float)
+    np.testing.assert_allclose(bc, expect, rtol=1e-5)
+
+
+def test_betweenness_star():
+    from combblas_tpu.models.bc import betweenness_centrality
+
+    # star: center 0; all shortest paths between leaves go through 0
+    n = 6
+    d = np.zeros((n, n), np.float32)
+    for i in range(1, n):
+        d[0, i] = d[i, 0] = 1.0
+    bc = betweenness_centrality(SpCOO.from_dense(d), batch_size=3)
+    expect = np.zeros(n)
+    expect[0] = (n - 1) * (n - 2)
+    np.testing.assert_allclose(bc, expect, atol=1e-5)
