@@ -31,7 +31,13 @@ from combblas_tpu.ops.spgemm import spgemm_auto
 from combblas_tpu.models.cc import count_components, fastsv_local
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["MCLParams", "mcl_local", "make_col_stochastic", "chaos"]
+__all__ = [
+    "MCLParams",
+    "mcl_local",
+    "mcl_dist",
+    "make_col_stochastic",
+    "chaos",
+]
 
 
 @dataclasses.dataclass
@@ -147,3 +153,84 @@ def mcl_local(
     sym = merge(a, a.transpose(), PLUS_TIMES)
     labels = fastsv_local(sym)
     return labels, it
+
+
+def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
+             verbose: bool = False):
+    """Distributed HipMCL (``MCL.cpp:515`` with ``MemEfficientSpGEMM`` at
+    ``:574``): the expansion runs as (optionally phased) SUMMA on the 2D mesh,
+    pruning/normalization as distributed column ops, convergence via the
+    distributed chaos metric, and Interpret as distributed FastSV.
+
+    ``a``: DistSpMat on a square grid.  Returns (labels, iterations)."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.models.cc import fastsv_dist
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.elementwise import (
+        dist_add,
+        dist_apply,
+        dist_dim_apply,
+        dist_kselect_col,
+        dist_prune,
+        dist_prune_column,
+        dist_reduce,
+        dist_transpose,
+    )
+    from combblas_tpu.parallel.memefficient import mem_efficient_spgemm
+    from combblas_tpu.semiring import MAX_FIRST
+
+    p = params or MCLParams()
+
+    def col_stochastic(m: DistSpMat) -> DistSpMat:
+        colsum = dist_reduce(m, "col")
+        inv = jnp.where(colsum > 0, 1.0 / colsum, 0.0)
+        return dist_dim_apply(m, inv, "col")
+
+    def dist_chaos(m: DistSpMat):
+        cmax = dist_reduce(m, "col", MAX_FIRST)
+        cmax = jnp.where(jnp.isfinite(cmax), cmax, 0.0)
+        css = dist_reduce(m, "col", premap=_square)
+        return jnp.max(cmax - css)
+
+    def prune_hook(c: DistSpMat) -> DistSpMat:
+        c = dist_prune(c, _below_cutoff(p.cutoff))
+        th = dist_kselect_col(c, p.select)
+        # keep entries >= per-column k-th largest (select step); -inf keeps all
+        return dist_prune_column(c, th, _below_thresh)
+
+    a = col_stochastic(a)
+    it = 0
+    for it in range(1, p.max_iters + 1):
+        a2 = mem_efficient_spgemm(a, a, phases=phases, phase_hook=None)
+        a2 = prune_hook(a2)
+        a2 = dist_apply(a2, _pow_closure(p.inflation))
+        a2 = col_stochastic(a2)
+        ch = float(dist_chaos(a2))
+        a = a2
+        if verbose:
+            print(f"mcl_dist iter {it}: chaos={ch:.5f} "
+                  f"nnz={int(a.total_nnz())}")
+        if ch < p.eps:
+            break
+    sym = dist_add(a, dist_transpose(a))
+    labels = fastsv_dist(sym)
+    return labels, it
+
+
+def _below_cutoff(cutoff: float):
+    def f(v):
+        return jnp.abs(v) < cutoff
+
+    return f
+
+
+def _below_thresh(v, t):
+    return v < t
+
+
+def _pow_closure(power: float):
+    def f(v):
+        return jnp.power(jnp.abs(v), power)
+
+    return f
