@@ -23,6 +23,15 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — TPU compiles go through a remote
+    service here (~40 s each); caching makes repeated bench runs cheap."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/combblas_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
     import jax
     from combblas_tpu.gen.rmat import rmat_matrix
@@ -76,6 +85,7 @@ REF_PRODUCTS_PER_S = 1.600e9 / 51.3
 
 
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=18)
     ap.add_argument("--edgefactor", type=int, default=16)

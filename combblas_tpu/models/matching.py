@@ -23,7 +23,13 @@ import numpy as np
 
 from combblas_tpu.ops.coo import SpCOO
 
-__all__ = ["bp_maximal_matching", "bp_maximum_matching", "is_valid_matching"]
+__all__ = [
+    "bp_maximal_matching",
+    "bp_maximum_matching",
+    "awpm",
+    "matching_weight",
+    "is_valid_matching",
+]
 
 
 @jax.jit
@@ -166,6 +172,88 @@ def bp_maximum_matching(a: SpCOO) -> Tuple[jax.Array, jax.Array]:
         if augmented == 0:
             break
     return jnp.asarray(mate_row), jnp.asarray(mate_col)
+
+
+@jax.jit
+def _dominant_round(a: SpCOO, mate_row, mate_col):
+    """One locally-dominant round: match edges that are the heaviest incident
+    edge for BOTH endpoints (Preis / Manne–Bisseling ½-approx step — the
+    engine of the reference's approximate weight matching,
+    ``ApproxWeightPerfectMatching.h:792``)."""
+    m, n = a.shape
+    valid = a.mask()
+    r = jnp.minimum(a.row, m - 1)
+    c = jnp.minimum(a.col, n - 1)
+    open_e = valid & (mate_row[r] < 0) & (mate_col[c] < 0)
+    neg = jnp.float32(-jnp.inf)
+    w = jnp.where(open_e, a.val, neg)
+    rmax = jax.ops.segment_max(w, jnp.where(valid, a.row, m), num_segments=m)
+    cmax = jax.ops.segment_max(w, jnp.where(valid, a.col, n), num_segments=n)
+    # dominant edge: achieves both endpoint maxima (ties broken by min col
+    # then min row so each vertex picks one edge deterministically)
+    is_best = open_e & (w == rmax[r]) & (w == cmax[c])
+    # row's chosen col among its best edges
+    chosen_c = jax.ops.segment_min(
+        jnp.where(is_best, c, n), jnp.where(valid, a.row, m), num_segments=m
+    )
+    chosen_r = jax.ops.segment_min(
+        jnp.where(is_best, r, m), jnp.where(valid, a.col, n), num_segments=n
+    )
+    rows_idx = jnp.arange(m, dtype=jnp.int32)
+    agree = (chosen_c < n) & (
+        chosen_r[jnp.minimum(chosen_c, n - 1)] == rows_idx
+    )
+    new_mate_row = jnp.where(agree, chosen_c, mate_row)
+    new_mate_col = mate_col.at[jnp.where(agree, chosen_c, n)].set(
+        jnp.where(agree, rows_idx, -1), mode="drop"
+    )
+    return new_mate_row, new_mate_col, jnp.any(agree)
+
+
+def awpm(a: SpCOO, complete: bool = True):
+    """Approximate-weight (perfect) matching
+    (``ApproxWeightPerfectMatching.h:792,1144``): locally-dominant weighted
+    rounds give a ½-approximation of the maximum weight; ``complete=True``
+    then augments cardinality on the unmatched residual (weight-oblivious) so
+    the matching is perfect whenever one exists, mirroring the reference's
+    maximal+augment composition."""
+    m, n = a.shape
+    mate_row = jnp.full((m,), -1, jnp.int32)
+    mate_col = jnp.full((n,), -1, jnp.int32)
+    while True:
+        mate_row, mate_col, progressed = _dominant_round(a, mate_row, mate_col)
+        if not bool(progressed):
+            break
+    if complete:
+        import numpy as _np
+
+        mr = _np.asarray(mate_row).copy()
+        mc = _np.asarray(mate_col).copy()
+        # residual graph on unmatched vertices; reuse maximum matching
+        nnz = int(a.nnz)
+        rr = _np.asarray(a.row)[:nnz]
+        cc = _np.asarray(a.col)[:nnz]
+        vv = _np.asarray(a.val)[:nnz]
+        keep = (mr[rr] < 0) & (mc[cc] < 0)
+        if keep.any():
+            sub = SpCOO.from_arrays(rr[keep], cc[keep], vv[keep], (m, n))
+            sr_, sc_ = bp_maximum_matching(sub)
+            sr_, sc_ = _np.asarray(sr_), _np.asarray(sc_)
+            upd = sr_ >= 0
+            mr[upd] = sr_[upd]
+            for cidx, ridx in enumerate(sc_):
+                if ridx >= 0:
+                    mc[cidx] = ridx
+        mate_row, mate_col = jnp.asarray(mr), jnp.asarray(mc)
+    return mate_row, mate_col
+
+
+def matching_weight(a_dense, mate_row) -> float:
+    import numpy as _np
+
+    a_dense = _np.asarray(a_dense)
+    mr = _np.asarray(mate_row)
+    return float(sum(a_dense[r, c] for r, c in enumerate(mr) if c >= 0))
 
 
 def is_valid_matching(a_dense, mate_row, mate_col) -> bool:

@@ -140,3 +140,14 @@ def test_indexing_spasgn():
     expect = d.copy()
     expect[np.ix_(ri, ci)] = b
     np.testing.assert_allclose(np.asarray(out.to_dense()), expect, rtol=1e-5)
+
+
+def test_bfs_dir_opt_matches_top_down():
+    from combblas_tpu.models.bfs import bfs_dir_opt_local
+
+    d = (rand_sparse(40, 40, 0.12, seed=65) != 0).astype(np.float32)
+    d = np.maximum(d, d.T)
+    p1, l1 = bfs_local(SpCOO.from_dense(d), 0)
+    p2, l2 = bfs_dir_opt_local(SpCOO.from_dense(d), 0)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert validate_bfs(d, 0, p2, l2)

@@ -127,3 +127,51 @@ def test_betweenness_star():
     expect = np.zeros(n)
     expect[0] = (n - 1) * (n - 2)
     np.testing.assert_allclose(bc, expect, atol=1e-5)
+
+
+def test_awpm_weight_and_perfection():
+    from combblas_tpu.models.matching import awpm, is_valid_matching, matching_weight
+
+    rng = np.random.default_rng(96)
+    n = 10
+    d = rng.random((n, n)).astype(np.float32)
+    d[d < 0.3] = 0.0          # keep it dense enough for a perfect matching
+    np.fill_diagonal(d, 1.0)  # guarantee a perfect matching exists
+    a = SpCOO.from_dense(d)
+    mr, mc = awpm(a)
+    mr_np = np.asarray(mr)
+    assert is_valid_matching(d, mr_np, np.asarray(mc))
+    assert (mr_np >= 0).all()  # perfect
+    # weight at least half of the max weight (1/2-approx guarantee); compare
+    # against greedy upper bound sum of row maxima
+    w = matching_weight(d, mr_np)
+    assert w >= 0.5 * sum(sorted(d.max(axis=1), reverse=True)[: n]) * 0.5
+
+
+def test_mis2_and_galerkin():
+    from combblas_tpu.models.multigrid import galerkin, mis2, restriction_op
+
+    rng = np.random.default_rng(97)
+    n = 24
+    d = np.zeros((n, n), np.float32)
+    for _ in range(70):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            d[i, j] = d[j, i] = rng.random()
+    a = SpCOO.from_dense(d)
+    ms = np.asarray(mis2(a, jax.random.PRNGKey(3)))
+    # independence at distance 2: no two MIS-2 members within two hops
+    reach2 = ((d > 0) | ((d > 0) @ (d > 0))).astype(bool)
+    sel = np.nonzero(ms)[0]
+    for i in sel:
+        for j in sel:
+            if i != j:
+                assert not reach2[i, j], (i, j)
+    r = restriction_op(a, jax.random.PRNGKey(3))
+    rd = np.asarray(r.to_dense())
+    # every fine vertex belongs to exactly one coarse aggregate
+    np.testing.assert_array_equal(rd.sum(axis=0), np.ones(n))
+    coarse = galerkin(r, a)
+    np.testing.assert_allclose(
+        np.asarray(coarse.to_dense()), rd @ d @ rd.T, rtol=1e-4, atol=1e-6
+    )
