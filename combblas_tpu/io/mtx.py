@@ -96,9 +96,24 @@ def read_mtx_arrays(path: str):
 
 def _read_mtx_numpy(path: str):
     with open(path, "rb") as f:
-        header = f.readline().decode().strip().lower().split()
+        first = f.readline().decode()
+        header = first.strip().lower().split()
         if len(header) < 5 or header[0] != "%%matrixmarket":
-            raise ValueError(f"not a MatrixMarket file: {path}")
+            # headerless triple file ("m n nnz" first line) — the reference's
+            # ReadDistribute accepts these (e.g. ReleaseTests/small_nonsym.mtx)
+            try:
+                m, n, nnz = (int(t) for t in first.split())
+            except Exception:
+                raise ValueError(f"not a MatrixMarket file: {path}")
+            data = np.loadtxt(f, ndmin=2) if nnz else np.zeros((0, 3))
+            row = data[:, 0].astype(np.int32) - 1
+            col = data[:, 1].astype(np.int32) - 1
+            val = (
+                data[:, 2].astype(np.float32)
+                if data.shape[1] > 2
+                else np.ones(row.shape[0], np.float32)
+            )
+            return row, col, val, (m, n)
         _, obj, fmt, field, symmetry = header[:5]
         if fmt != "coordinate":
             raise ValueError("only coordinate format supported")

@@ -41,6 +41,7 @@ __all__ = [
     "spgemm_flops",
     "spgemm_bounds",
     "spgemm_rowchunked",
+    "spgemm_dense",
 ]
 
 
@@ -246,6 +247,83 @@ def spgemm_rowchunked(
         nnz=total_nnz.astype(jnp.int32),
         shape=(m, n),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "out_capacity"))
+def spgemm_dense(
+    a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *, out_capacity: int
+) -> SpCOO:
+    """Dense-fallback SpGEMM: densify blocks, multiply on the MXU, re-sparsify.
+
+    The TPU-native answer for blocks above ~0.5-1% density, where the MXU's
+    raw FLOP rate beats any sparse formulation despite the wasted zeros — the
+    role the reference's per-column heap plays for dense-ish columns
+    (``mtSpGEMM.h:311``), re-cast for a systolic array.  plus_times rides
+    ``jnp.dot``; min/max-plus/times use blocked dense reductions.  Semantics
+    note: products that cancel to exact 0 are dropped on re-sparsify (the
+    numeric-ring convention), unlike the ESC path which keeps them — known
+    structural divergence, use ESC when exact structure matters.
+    """
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+    ad = a.to_dense()
+    bd = b.to_dense()
+    if sr.name == "plus_times":
+        cd = jnp.dot(ad, bd, preferred_element_type=jnp.float32)
+    elif sr.name == "or_and":
+        cd = (
+            jnp.dot(
+                (ad != 0).astype(jnp.float32),
+                (bd != 0).astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            > 0
+        ).astype(a.val.dtype)
+    else:
+        # generic semiring: blocked k-reduction; mask empty cells with identity
+        zero = sr.zero(jnp.result_type(ad.dtype, bd.dtype))
+        am = ad != 0
+        bm = bd != 0
+        # broadcast formulation in k-chunks to bound memory
+        CHUNK = max(1, min(k, 512))
+        nchunks = -(-k // CHUNK)
+        init = jnp.full((m, n), zero, jnp.result_type(ad.dtype, bd.dtype))
+
+        def body(c, acc):
+            lo = c * CHUNK
+            aa = jax.lax.dynamic_slice(ad, (0, lo), (m, CHUNK))
+            ma = jax.lax.dynamic_slice(am, (0, lo), (m, CHUNK))
+            bb = jax.lax.dynamic_slice(bd, (lo, 0), (CHUNK, n))
+            mb2 = jax.lax.dynamic_slice(bm, (lo, 0), (CHUNK, n))
+            prod = sr.mul(aa[:, :, None], bb[None, :, :])  # (m, CHUNK, n)
+            mask = ma[:, :, None] & mb2[None, :, :]
+            prod = jnp.where(mask, prod, zero)
+            if sr.add_kind == "sum":
+                contrib = jnp.sum(prod, axis=1)
+                return acc + contrib
+            if sr.add_kind == "min":
+                return jnp.minimum(acc, jnp.min(prod, axis=1))
+            return jnp.maximum(acc, jnp.max(prod, axis=1))
+
+        cd = jax.lax.fori_loop(0, nchunks, body, init)
+        cd = jnp.where(cd == zero, 0, cd)
+    # re-sparsify: compact nonzero cells into a canonical SpCOO
+    flat = cd.ravel()
+    nz = flat != 0
+    dest = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    nnz = jnp.maximum(dest[-1] + 1, 0)
+    dest = jnp.where(nz, dest, out_capacity)
+    lin = jnp.arange(m * n, dtype=jnp.int32)
+    out_row = jnp.full((out_capacity,), m, jnp.int32).at[dest].set(
+        lin // n, mode="drop"
+    )
+    out_col = jnp.full((out_capacity,), n, jnp.int32).at[dest].set(
+        lin % n, mode="drop"
+    )
+    out_val = jnp.zeros((out_capacity,), cd.dtype).at[dest].set(flat, mode="drop")
+    return SpCOO(row=out_row, col=out_col, val=out_val,
+                 nnz=nnz.astype(jnp.int32), shape=(m, n))
 
 
 def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,

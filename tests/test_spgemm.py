@@ -112,3 +112,20 @@ def test_sevenvertex_square():
     d = np.asarray(a.to_dense())
     c = spgemm_auto(a, a)
     np.testing.assert_allclose(np.asarray(c.to_dense()), d @ d, rtol=1e-5, atol=1e-6)
+
+
+def test_spgemm_dense_fallback():
+    from combblas_tpu.ops.spgemm import spgemm_dense
+
+    da = rand_sparse(14, 10, 0.5, seed=19)
+    db = rand_sparse(10, 12, 0.5, seed=20)
+    a, b = SpCOO.from_dense(da), SpCOO.from_dense(db)
+    c = spgemm_dense(a, b, out_capacity=256)
+    np.testing.assert_allclose(np.asarray(c.to_dense()), da @ db, rtol=1e-5,
+                               atol=1e-6)
+    cm = spgemm_dense(a, b, MIN_PLUS, out_capacity=256)
+    from tests.test_spgemm import dense_semiring_matmul
+
+    expect = dense_semiring_matmul(da, db, "min_plus")
+    np.testing.assert_allclose(np.asarray(cm.to_dense()), expect, rtol=1e-5,
+                               atol=1e-6)
