@@ -26,7 +26,8 @@ import numpy as np
 
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["SpCOO", "sort_coo", "compress_sorted", "merge"]
+__all__ = ["SpCOO", "sort_coo", "compress_sorted", "merge", "row_split",
+           "row_concat"]
 
 
 def _round_capacity(n: int) -> int:
@@ -276,6 +277,53 @@ def compress_sorted(
         nnz=nnz_out.astype(jnp.int32),
         shape=(int(m), int(n)),
     )
+
+
+def row_split(a: SpCOO, nsplits: int) -> list:
+    """Split into ``nsplits`` row bands (``SpDCCols::RowSplit`` /
+    ``Split``, ``SpDCCols.h:281-294`` — the reference uses this for
+    per-thread work division; here it serves phase/block iteration)."""
+    m, n = a.shape
+    band = -(-m // nsplits)
+    rp = a.row_ptr()
+    out = []
+    idx = jnp.arange(a.capacity, dtype=jnp.int32)
+    for s in range(nsplits):
+        lo, hi = rp[min(s * band, m)], rp[min((s + 1) * band, m)]
+        src = jnp.minimum(lo + idx, a.capacity - 1)
+        rows_here = min(band, m - s * band) if s * band < m else 0
+        sel = idx < (hi - lo)
+        out.append(
+            SpCOO(
+                row=jnp.where(sel, a.row[src] - s * band, rows_here),
+                col=jnp.where(sel, a.col[src], n),
+                val=jnp.where(sel, a.val[src], 0),
+                nnz=(hi - lo).astype(jnp.int32),
+                shape=(max(rows_here, 1), n),
+            )
+        )
+    return out
+
+
+def row_concat(parts: list) -> SpCOO:
+    """Inverse of :func:`row_split` (``SpDCCols::Merge``)."""
+    n = parts[0].shape[1]
+    rows, cols, vals = [], [], []
+    off = 0
+    total_m = sum(p.shape[0] for p in parts)
+    for p in parts:
+        valid = p.mask()
+        rows.append(jnp.where(valid, p.row + off, total_m))
+        cols.append(jnp.where(valid, p.col, n))
+        vals.append(jnp.where(valid, p.val, 0))
+        off += p.shape[0]
+    row = jnp.concatenate(rows)
+    col = jnp.concatenate(cols)
+    val = jnp.concatenate(vals)
+    row, col, val = jax.lax.sort((row, col, val), num_keys=2)
+    nnz = sum(p.nnz for p in parts)
+    return SpCOO(row=row, col=col, val=val, nnz=nnz.astype(jnp.int32),
+                 shape=(total_m, n))
 
 
 def merge(

@@ -95,6 +95,12 @@ class DistSpMat:
     def total_nnz(self) -> jax.Array:
         return jnp.sum(self.nnz)
 
+    def load_imbalance(self) -> jax.Array:
+        """max block nnz / mean block nnz (``SpParMat::LoadImbalance``,
+        ``SpParMat.cpp:762``) — 1.0 is perfectly balanced."""
+        mean = jnp.maximum(jnp.mean(self.nnz.astype(jnp.float32)), 1e-9)
+        return jnp.max(self.nnz).astype(jnp.float32) / mean
+
     # -- host constructors ------------------------------------------------
     @staticmethod
     def from_coo_arrays(

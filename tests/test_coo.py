@@ -98,3 +98,35 @@ def test_empty():
     np.testing.assert_array_equal(np.asarray(a.to_dense()), np.zeros((4, 4)))
     b = merge(a, SpCOO.from_dense(np.eye(4, dtype=np.float32)))
     np.testing.assert_allclose(np.asarray(b.to_dense()), np.eye(4))
+
+
+def test_row_split_concat():
+    from combblas_tpu.ops.coo import row_concat, row_split
+
+    d = rand_sparse(13, 9, 0.4, seed=130)
+    a = SpCOO.from_dense(d)
+    parts = row_split(a, 3)
+    assert sum(int(p.nnz) for p in parts) == int(a.nnz)
+    # pieces reproduce their bands
+    off = 0
+    for p in parts:
+        band = p.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(p.to_dense()), d[off : off + band], rtol=1e-6
+        )
+        off += band
+    back = row_concat(parts)
+    np.testing.assert_allclose(np.asarray(back.to_dense()), d, rtol=1e-6)
+
+
+def test_load_imbalance():
+    import jax
+
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    d = rand_sparse(16, 16, 0.5, seed=131)
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g)
+    li = float(A.load_imbalance())
+    assert li >= 1.0
