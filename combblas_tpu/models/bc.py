@@ -25,7 +25,7 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.ops.spmv import spmm
 from combblas_tpu.semiring import PLUS_TIMES
 
-__all__ = ["betweenness_centrality"]
+__all__ = ["betweenness_centrality", "betweenness_centrality_dist"]
 
 
 @jax.jit
@@ -93,4 +93,54 @@ def betweenness_centrality(
         bc += contrib
     if normalize and n > 2:
         bc /= (n - 1) * (n - 2)
+    return bc
+
+
+def betweenness_centrality_dist(
+    a, batch_size: int = 32, sources: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Distributed batched Brandes: wavefronts are (n_padded, batch) dense
+    matrices sharded over the grid, each level one ``dist_spmm``
+    (``BetwCent.cpp:179``'s PSpGEMM fringe becomes sparse×dense on the mesh,
+    the back-propagation a second dist_spmm).  ``a``: DistSpMat, symmetric."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.parallel.dense import dist_spmm
+    from combblas_tpu.parallel.dist import col_vec_len, row_vec_len
+    from combblas_tpu.parallel.elementwise import dist_transpose
+
+    n = a.gshape[0]
+    at = dist_transpose(a)
+    n_pad = col_vec_len(a.gshape, a.grid)
+    if sources is None:
+        sources = np.arange(n)
+    sources = np.asarray(sources)
+    bc = np.zeros(n, np.float64)
+    for lo in range(0, len(sources), batch_size):
+        batch = sources[lo : lo + batch_size]
+        b = len(batch)
+        fr = np.zeros((n_pad, b), np.float32)
+        fr[batch, np.arange(b)] = 1.0
+        fringe = jnp.asarray(fr)
+        nsp = fringe
+        fringes = [fringe]
+        while True:
+            new = dist_spmm(at, fringe)[:n_pad]
+            new = jnp.where(nsp > 0, 0.0, new)
+            if float(jnp.sum(new)) == 0.0:
+                break
+            nsp = nsp + new
+            fringe = new
+            fringes.append(fringe)
+        bcu = jnp.ones((n_pad, b), jnp.float32)
+        for d in range(len(fringes) - 1, 0, -1):
+            w_term = jnp.where(
+                fringes[d] > 0, bcu / jnp.maximum(nsp, 1e-30), 0.0
+            )
+            pulled = dist_spmm(a, w_term)[:n_pad]
+            bcu = bcu + jnp.where(fringes[d - 1] > 0, pulled * nsp, 0.0)
+        contrib = np.asarray((bcu - 1.0) * (nsp > 0), np.float64)[:n].sum(axis=1)
+        dd = np.asarray((bcu - 1.0) * (nsp > 0))
+        contrib[batch] -= dd[batch, np.arange(b)]
+        bc += contrib
     return bc

@@ -23,7 +23,7 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.ops.reduce import nnz_per
 from combblas_tpu.models.bfs import bfs_local
 
-__all__ = ["pseudo_peripheral_vertex", "rcm_order"]
+__all__ = ["pseudo_peripheral_vertex", "rcm_order", "md_order"]
 
 
 def pseudo_peripheral_vertex(a: SpCOO, start: int = 0, max_rounds: int = 8):
@@ -72,6 +72,42 @@ def rcm_order(a: SpCOO, start: int | None = None) -> jax.Array:
         start = None
     order = np.concatenate(pieces)
     return jnp.asarray(order[::-1].copy())  # reverse (the R in RCM)
+
+
+def md_order(a: SpCOO) -> jax.Array:
+    """Minimum-degree ordering (``Applications/Ordering/MD.cpp`` counterpart).
+
+    Greedy elimination with exact fill-in on a host adjacency-set quotient
+    graph — ordering is a one-shot preprocessing step, so, like the
+    reference's driver, it favors fidelity over device parallelism (ties
+    broken by vertex id for determinism)."""
+    n = a.shape[0]
+    nnz = int(a.nnz)
+    r = np.asarray(a.row)[:nnz]
+    c = np.asarray(a.col)[:nnz]
+    adj = [set() for _ in range(n)]
+    for u, v in zip(r, c):
+        if u != v:
+            adj[u].add(int(v))
+            adj[v].add(int(u))
+    eliminated = np.zeros(n, bool)
+    order = []
+    for _ in range(n):
+        best, best_deg = -1, None
+        for v in range(n):
+            if not eliminated[v]:
+                d = len(adj[v])
+                if best_deg is None or d < best_deg:
+                    best, best_deg = v, d
+        order.append(best)
+        eliminated[best] = True
+        nbrs = [u for u in adj[best] if not eliminated[u]]
+        for u in nbrs:  # clique fill-in among remaining neighbors
+            adj[u].discard(best)
+            for w in nbrs:
+                if w != u:
+                    adj[u].add(w)
+    return jnp.asarray(np.asarray(order, np.int32))
 
 
 def _cm_order_component(a: SpCOO, parents, levels, degn) -> np.ndarray:

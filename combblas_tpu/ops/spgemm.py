@@ -69,23 +69,54 @@ def expand_products(
     """
     m_sent, n_sent = out_sentinels
     kk = rp_lo.shape[0]
+    cap_a = a_row.shape[0]
+    cap_b = b_col.shape[0]
     acol = jnp.minimum(a_col, kk - 1)
     cnt = jnp.where(a_valid, rp_hi[acol] - rp_lo[acol], 0)
     offs = jnp.cumsum(cnt)  # inclusive prefix
     total = offs[-1]
     starts = offs - cnt
     t = jnp.arange(flops_cap, dtype=jnp.int32)
-    src = jnp.searchsorted(offs, t, side="right").astype(jnp.int32)
-    src = jnp.minimum(src, a_row.shape[0] - 1)
-    within = t - starts[src]
-    b_idx = jnp.minimum(
-        rp_lo[jnp.minimum(a_col[src], kk - 1)] + within, b_col.shape[0] - 1
+    # slot -> source A-nonzero WITHOUT searchsorted (30x slower on TPU than
+    # everything else in this kernel, measured): scatter each producing
+    # nonzero's id at its run start (starts are strictly increasing over
+    # producing nonzeros, so positions are unique), then a running max fills
+    # the runs.  Same trick recovers each slot's run start.
+    has = cnt > 0
+    pos = jnp.where(has, starts, flops_cap)  # dropped when out of range
+    e_ids = jnp.arange(cap_a, dtype=jnp.int32)
+    src = jax.lax.cummax(
+        jnp.zeros((flops_cap,), jnp.int32).at[pos].max(e_ids, mode="drop")
     )
+    starts_exp = jax.lax.cummax(
+        jnp.zeros((flops_cap,), jnp.int32).at[pos].max(starts, mode="drop")
+    )
+    within = t - starts_exp
+    # Per-slot lookups as ONE wide gather per operand side: pack the A-side
+    # (row, val, b-row-start) and B-side (col, val) into float32 tables —
+    # integer fields are exact in f32 below 2^24, asserted by callers via
+    # _EXPAND_INT_LIMIT (local block dims and buffer capacities stay far
+    # below it in practice).
+    b_start = rp_lo[acol].astype(jnp.float32)
+    a_tab = jnp.stack(
+        [a_row.astype(jnp.float32), a_val.astype(jnp.float32), b_start], axis=1
+    )
+    a_g = a_tab[src]  # (flops_cap, 3)
+    b_idx = jnp.minimum(a_g[:, 2].astype(jnp.int32) + within, cap_b - 1)
+    b_tab = jnp.stack(
+        [b_col.astype(jnp.float32), b_val.astype(jnp.float32)], axis=1
+    )
+    b_g = b_tab[b_idx]  # (flops_cap, 2)
     valid = t < total
-    i = jnp.where(valid, a_row[src], m_sent)
-    j = jnp.where(valid, b_col[b_idx], n_sent)
-    v = jnp.where(valid, sr.mul(a_val[src], b_val[b_idx]), 0)
+    i = jnp.where(valid, a_g[:, 0].astype(jnp.int32), m_sent)
+    j = jnp.where(valid, b_g[:, 0].astype(jnp.int32), n_sent)
+    v = jnp.where(valid, sr.mul(a_g[:, 1], b_g[:, 1]), 0)
     return i, j, v, total
+
+
+#: integer fields ride float32 lanes inside expand_products; all row/col ids
+#: and buffer offsets must stay below 2^24 for exactness.
+_EXPAND_INT_LIMIT = 1 << 24
 
 
 def _expand(a: SpCOO, b: SpCOO, b_rp: jax.Array, sr: Semiring, flops_cap: int):

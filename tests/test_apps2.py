@@ -175,3 +175,62 @@ def test_mis2_and_galerkin():
     np.testing.assert_allclose(
         np.asarray(coarse.to_dense()), rd @ d @ rd.T, rtol=1e-4, atol=1e-6
     )
+
+
+def test_filtered_bfs():
+    from combblas_tpu.models.bfs import bfs_local
+    from combblas_tpu.models.filtered import bfs_filtered, materialize_filtered
+
+    rng = np.random.default_rng(98)
+    n = 20
+    d = np.zeros((n, n), np.float32)
+    for _ in range(80):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            w = rng.choice([1.0, 2.0])
+            d[i, j] = d[j, i] = w
+    a = SpCOO.from_dense(d)
+
+    def keep(v):
+        return v > 1.5  # only weight-2 edges
+
+    p1, l1 = bfs_filtered(a, 0, keep)
+    sub = materialize_filtered(a, keep)
+    p2, l2 = bfs_local(sub, 0)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_bc_dist_matches_local():
+    import jax
+
+    from combblas_tpu.models.bc import (
+        betweenness_centrality,
+        betweenness_centrality_dist,
+    )
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+
+    d = (rand_sparse(14, 14, 0.2, seed=99) != 0).astype(np.float32)
+    d = np.maximum(d, d.T)
+    np.fill_diagonal(d, 0)
+    a = SpCOO.from_dense(d)
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    A = DistSpMat.from_local(a, g)
+    bc_l = betweenness_centrality(a, batch_size=7)
+    bc_d = betweenness_centrality_dist(A, batch_size=7)
+    np.testing.assert_allclose(bc_d, bc_l, rtol=1e-4, atol=1e-5)
+
+
+def test_md_order():
+    from combblas_tpu.models.ordering import md_order
+
+    # star graph: leaves (degree 1) must be eliminated before the hub
+    n = 7
+    d = np.zeros((n, n), np.float32)
+    for i in range(1, n):
+        d[0, i] = d[i, 0] = 1.0
+    order = np.asarray(md_order(SpCOO.from_dense(d)))
+    assert sorted(order.tolist()) == list(range(n))
+    # all leaves (degree 1) are eliminated before the hub reaches a tie —
+    # the hub cannot appear among the first n-2 eliminations
+    assert 0 not in order[: n - 2]
