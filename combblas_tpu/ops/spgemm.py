@@ -88,29 +88,47 @@ def expand_products(
     src = jax.lax.cummax(
         jnp.zeros((flops_cap,), jnp.int32).at[pos].max(e_ids, mode="drop")
     )
-    starts_exp = jax.lax.cummax(
+    valid = t < total
+    packable = (
+        max(flops_cap, cap_b, m_sent, n_sent) < _EXPAND_INT_LIMIT
+        and jnp.issubdtype(a_val.dtype, jnp.floating)
+        and jnp.issubdtype(b_val.dtype, jnp.floating)
+    )
+    if packable:
+        # Per-slot lookups as ONE wide gather per operand side: pack the
+        # A-side (row, val, b-row-start, run-start) and B-side (col, val)
+        # into float32 tables — integer fields are exact in f32 below 2^24
+        # (guarded above; wide gathers measure cheaper than repeated 1-wide).
+        b_start = rp_lo[acol].astype(jnp.float32)
+        a_tab = jnp.stack(
+            [
+                a_row.astype(jnp.float32),
+                a_val.astype(jnp.float32),
+                b_start,
+                starts.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        a_g = a_tab[src]  # (flops_cap, 4)
+        within = t - a_g[:, 3].astype(jnp.int32)
+        b_idx = jnp.minimum(a_g[:, 2].astype(jnp.int32) + within, cap_b - 1)
+        b_tab = jnp.stack(
+            [b_col.astype(jnp.float32), b_val.astype(jnp.float32)], axis=1
+        )
+        b_g = b_tab[b_idx]  # (flops_cap, 2)
+        i = jnp.where(valid, a_g[:, 0].astype(jnp.int32), m_sent)
+        j = jnp.where(valid, b_g[:, 0].astype(jnp.int32), n_sent)
+        v = jnp.where(valid, sr.mul(a_g[:, 1], b_g[:, 1]), 0)
+        return i, j, v, total
+    # exact path for huge capacities / integer values: separate int gathers
+    within = t - jax.lax.cummax(
         jnp.zeros((flops_cap,), jnp.int32).at[pos].max(starts, mode="drop")
     )
-    within = t - starts_exp
-    # Per-slot lookups as ONE wide gather per operand side: pack the A-side
-    # (row, val, b-row-start) and B-side (col, val) into float32 tables —
-    # integer fields are exact in f32 below 2^24, asserted by callers via
-    # _EXPAND_INT_LIMIT (local block dims and buffer capacities stay far
-    # below it in practice).
-    b_start = rp_lo[acol].astype(jnp.float32)
-    a_tab = jnp.stack(
-        [a_row.astype(jnp.float32), a_val.astype(jnp.float32), b_start], axis=1
-    )
-    a_g = a_tab[src]  # (flops_cap, 3)
-    b_idx = jnp.minimum(a_g[:, 2].astype(jnp.int32) + within, cap_b - 1)
-    b_tab = jnp.stack(
-        [b_col.astype(jnp.float32), b_val.astype(jnp.float32)], axis=1
-    )
-    b_g = b_tab[b_idx]  # (flops_cap, 2)
-    valid = t < total
-    i = jnp.where(valid, a_g[:, 0].astype(jnp.int32), m_sent)
-    j = jnp.where(valid, b_g[:, 0].astype(jnp.int32), n_sent)
-    v = jnp.where(valid, sr.mul(a_g[:, 1], b_g[:, 1]), 0)
+    b_idx = jnp.minimum(rp_lo[jnp.minimum(a_col[src], kk - 1)] + within,
+                        cap_b - 1)
+    i = jnp.where(valid, a_row[src], m_sent)
+    j = jnp.where(valid, b_col[b_idx], n_sent)
+    v = jnp.where(valid, sr.mul(a_val[src], b_val[b_idx]), 0)
     return i, j, v, total
 
 
@@ -171,15 +189,24 @@ def spgemm_flops(a: SpCOO, b: SpCOO) -> jax.Array:
     return jnp.sum(cnt)
 
 
+def round_capacity_frac(n: int, frac: int = 8) -> int:
+    """Round up to the next 1/frac-of-a-power-of-two step: keeps compile-cache
+    reuse high while wasting at most ~1/frac of buffer work (plain pow2
+    rounding wastes up to 2x, which is pure streamed overhead in ESC)."""
+    n = max(n, 8)
+    step = max((1 << int(np.floor(np.log2(n)))) // frac, 8)
+    return -(-n // step) * step
+
+
 def spgemm_bounds(a: SpCOO, b: SpCOO) -> Tuple[int, int]:
     """Host-side (flops_cap, out_capacity) for :func:`spgemm`.
 
-    Pulls the exact FLOP count to host once (cheap scalar transfer) and rounds
-    to a power of two so repeated calls with similar sizes reuse the compiled
-    kernel.  out_capacity <= flops since compression only shrinks.
+    Pulls the exact FLOP count to host once (cheap scalar transfer); buffers
+    round to 1/8-pow2 steps (see :func:`round_capacity_frac`).
+    out_capacity <= flops since compression only shrinks.
     """
     flops = int(spgemm_flops(a, b))
-    cap = max(8, 1 << int(np.ceil(np.log2(max(flops, 1)))))
+    cap = round_capacity_frac(flops)
     return cap, cap
 
 
@@ -228,7 +255,9 @@ def spgemm_rowchunked(
     n = b.shape[1]
     b_rp = b.row_ptr()
     a_rp = a.row_ptr()
-    slab_out_cap = min(flops_cap, out_capacity)
+    # per-slab nnz <= per-slab products <= flops_cap, so slab compression can
+    # never truncate; only the global buffer can (detected by the caller)
+    slab_out_cap = flops_cap
 
     def do_slab(s):
         lo = a_rp[jnp.minimum(s * slab_rows, m)]
@@ -255,7 +284,7 @@ def spgemm_rowchunked(
     prefix = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnzs).astype(jnp.int32)]
     )
-    total_nnz = prefix[-1]
+    total_nnz = jnp.minimum(prefix[-1], out_capacity)  # clamp: see spgemm_auto
     pos_in = jnp.broadcast_to(
         jnp.arange(slab_out_cap, dtype=jnp.int32)[None, :], (num_slabs, slab_out_cap)
     )
@@ -358,21 +387,40 @@ def spgemm_dense(
 
 
 def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
-                max_flops_cap: int = 1 << 24, out_capacity: int | None = None) -> SpCOO:
+                max_flops_cap: int = 1 << 24, out_capacity: int | None = None,
+                nnz_estimate: int | None = None) -> SpCOO:
     """Host-driven dispatcher: single-pass when the expansion fits, row-chunked
-    otherwise.  Convenience wrapper used by apps and tests."""
+    otherwise, with estimate-and-retry output sizing.
+
+    Oversized output buffers multiply streamed traffic (every compress pass
+    touches out_capacity-sized arrays), so, like the reference's symbolic
+    estimate-then-allocate protocol (``estimateNNZ_Hash``, ``mtSpGEMM.h:807``),
+    the output is sized from an estimate (``nnz_estimate``, e.g. last
+    iteration's nnz in MCL; default flops/2 bounded by the dense cell count)
+    and the multiply retried with a doubled buffer when compression reports
+    truncation (nnz == capacity) — rare, and each retry is cheap relative to
+    a always-worst-case buffer."""
     flops_cap, oc = spgemm_bounds(a, b)
+    dense_cells = a.shape[0] * b.shape[1]
     if out_capacity is not None:
         out_cap = out_capacity
     else:
-        dense_cap = max(8, 1 << int(np.ceil(np.log2(max(a.shape[0] * b.shape[1], 1)))))
-        out_cap = min(oc, dense_cap)
-    if flops_cap <= max_flops_cap:
-        return spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
-    num_slabs = -(-flops_cap // max_flops_cap) * 2
-    slab_cap, slab_rows = _slab_bounds_host(a, b, num_slabs)
-    return spgemm_rowchunked(
-        a, b, sr,
-        num_slabs=num_slabs, slab_rows=slab_rows,
-        flops_cap=slab_cap, out_capacity=out_cap,
-    )
+        est = nnz_estimate if nnz_estimate is not None else max(
+            flops_cap // 2, 8
+        )
+        out_cap = round_capacity_frac(int(min(est, oc, max(dense_cells, 8))))
+    while True:
+        if flops_cap <= max_flops_cap:
+            c = spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
+        else:
+            num_slabs = -(-flops_cap // max_flops_cap) * 2
+            slab_cap, slab_rows = _slab_bounds_host(a, b, num_slabs)
+            c = spgemm_rowchunked(
+                a, b, sr,
+                num_slabs=num_slabs, slab_rows=slab_rows,
+                flops_cap=slab_cap, out_capacity=out_cap,
+            )
+        full = int(c.nnz) >= out_cap
+        if not full or out_cap >= min(oc, max(dense_cells, 8)):
+            return c
+        out_cap = round_capacity_frac(out_cap * 2)

@@ -179,7 +179,9 @@ def summa_flops(a: DistSpMat, b: DistSpMat) -> jax.Array:
 
 def summa_bounds(a: DistSpMat, b: DistSpMat) -> Tuple[int, int]:
     """Host-side (flops_cap, out_capacity) for :func:`summa_spgemm`: max
-    per-device panel flops, rounded to a power of two."""
+    per-device panel flops, rounded to a 1/8-pow2 step."""
+    from combblas_tpu.ops.spgemm import round_capacity_frac
+
     flops = int(jnp.max(summa_flops(a, b)))
-    cap = max(8, 1 << int(np.ceil(np.log2(max(flops, 1)))))
+    cap = round_capacity_frac(flops)
     return cap, cap
