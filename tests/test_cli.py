@@ -48,3 +48,20 @@ def test_cli_gen_convert(tmp_path, capsys):
         np.asarray(read_mtx(m).to_dense()),
         rtol=1e-6,
     )
+
+
+def test_labeled_tuples(tmp_path):
+    from combblas_tpu.io.labels import read_labeled_tuples, write_labeled_tuples
+
+    p = str(tmp_path / "g.txt")
+    with open(p, "w") as f:
+        f.write("protA protB 1.5\nprotB protC 2.0\nprotC protA 0.5\n")
+    a, labels = read_labeled_tuples(p)
+    assert labels == ["protA", "protB", "protC"]
+    assert int(a.nnz) == 3
+    d = np.asarray(a.to_dense())
+    assert d[0, 1] == 1.5 and d[1, 2] == 2.0 and d[2, 0] == 0.5
+    q = str(tmp_path / "out.txt")
+    write_labeled_tuples(q, a, labels)
+    b, labels2 = read_labeled_tuples(q)
+    np.testing.assert_allclose(np.asarray(b.to_dense()), d)
