@@ -142,6 +142,34 @@ def bench_bfs(scale: int, iters: int):
                 gteps=teps / 1e9)
 
 
+def bench_spmsv(scale: int, iters: int, frontier_frac: float = 0.01):
+    """Masked SpMSpV step timing (SpMSpV-IPDPS2017/SpMSpVBench counterpart):
+    one frontier push on an R-MAT graph with a sparse frontier."""
+    import jax
+    import jax.numpy as jnp
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.ops.spmv import spmsv_masked
+    from combblas_tpu.semiring import MAX_SECOND
+
+    a = rmat_matrix(jax.random.PRNGKey(11), scale=scale, edgefactor=16,
+                    symmetrize=True)
+    n = a.shape[0]
+    k = max(1, int(n * frontier_frac))
+    mask = jnp.zeros((n,), jnp.bool_).at[
+        jax.random.choice(jax.random.PRNGKey(12), n, (k,), replace=False)
+    ].set(True)
+    vals = jnp.arange(1, n + 1, dtype=jnp.int32)
+    y, ym = spmsv_masked(a, vals, mask, MAX_SECOND, transpose=True)
+    touched = int(jnp.sum(ym))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y, ym = spmsv_masked(a, vals, mask, MAX_SECOND, transpose=True)
+        touched = int(jnp.sum(ym))
+    dt = (time.perf_counter() - t0) / iters
+    return dict(scale=scale, frontier=k, reached=touched, secs=round(dt, 4),
+                edges_per_s=int(int(a.nnz) / dt))
+
+
 def bench_ewise(iters: int):
     """EWiseApply roofline sweep (``ReleaseTests/Roofline.cpp:69-81``)."""
     import jax
@@ -194,6 +222,8 @@ def main():
                                            iters=args.iters)),
             ("bfs_gteps", bench_bfs, dict(scale=min(args.scale, 14),
                                           iters=args.iters)),
+            ("spmsv", bench_spmsv, dict(scale=min(args.scale, 14),
+                                        iters=args.iters)),
             ("ewise_gteps", bench_ewise, dict(iters=args.iters)),
         ):
             try:

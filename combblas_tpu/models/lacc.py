@@ -18,7 +18,7 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.ops.spmv import spmv
 from combblas_tpu.semiring import MIN_SECOND
 
-__all__ = ["lacc_local"]
+__all__ = ["lacc_local", "lacc_dist"]
 
 
 def _star_check(f):
@@ -62,6 +62,37 @@ def lacc_local(a: SpCOO) -> jax.Array:
         hook2 = jnp.where(star2 & (y != f1), y, jnp.iinfo(jnp.int32).max)
         f2 = f1.at[f1].min(hook2)
         # shortcut
+        f3 = jnp.minimum(f2[f2], f2)
+        return f3, jnp.any(f3 != f)
+
+    f, _ = jax.lax.while_loop(cond, body, (f0, jnp.asarray(True)))
+    return f
+
+
+@jax.jit
+def lacc_dist(a) -> jax.Array:
+    """Distributed LACC: neighbor-parent minima via the mesh SpMV pipeline,
+    hooks on the FullyDist parent vector (``CC()`` driver, ``CC.h:1405``)."""
+    from combblas_tpu.parallel.dist import col_vec_len
+    from combblas_tpu.parallel.spmv import dist_spmv
+
+    n_pad = col_vec_len(a.gshape, a.grid)
+    f0 = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def cond(c):
+        _, changed = c
+        return changed
+
+    def body(c):
+        f, _ = c
+        star = _star_check(f)
+        y = dist_spmv(a, f, MIN_SECOND)[:n_pad]
+        y = jnp.minimum(y, f)
+        hook_to = jnp.where(star & (y < f), y, jnp.iinfo(jnp.int32).max)
+        f1 = f.at[f].min(hook_to)
+        star2 = _star_check(f1)
+        hook2 = jnp.where(star2 & (y != f1), y, jnp.iinfo(jnp.int32).max)
+        f2 = f1.at[f1].min(hook2)
         f3 = jnp.minimum(f2[f2], f2)
         return f3, jnp.any(f3 != f)
 

@@ -40,3 +40,18 @@ def test_lacc_known_graphs():
     assert len(np.unique(l)) == 1
     l2 = np.asarray(lacc_local(SpCOO.from_dense(two_components(16))))
     assert len(np.unique(l2)) == 2
+
+
+def test_lacc_dist_matches_local():
+    import jax
+
+    from combblas_tpu.models.lacc import lacc_dist
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+
+    d = two_components(16)
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g)
+    labels = np.asarray(lacc_dist(A))[:16]
+    ref = np.asarray(lacc_local(SpCOO.from_dense(d)))
+    assert same_partition(labels.tolist(), ref.tolist())
