@@ -24,7 +24,17 @@ from combblas_tpu.ops.ewise import _compact
 from combblas_tpu.ops.spgemm import spgemm_auto
 from combblas_tpu.semiring import PLUS_TIMES
 
-__all__ = ["make_selector", "spref", "spref_gather", "spasgn", "prune_block"]
+__all__ = [
+    "make_selector",
+    "spref",
+    "spref_gather",
+    "spasgn",
+    "prune_block",
+    "induced_subgraph",
+    "remove_loops",
+    "add_loops",
+    "prune_ktips",
+]
 
 
 def make_selector(indices, n: int, transpose: bool = False) -> SpCOO:
@@ -93,6 +103,70 @@ def prune_block(a: SpCOO, ri, ci, out_capacity: int | None = None) -> SpCOO:
     in_c = jnp.zeros((n,), jnp.bool_).at[ci].set(True)
     hit = in_r[jnp.minimum(a.row, m - 1)] & in_c[jnp.minimum(a.col, n - 1)]
     return _compact(a, ~hit, out_capacity)
+
+
+def induced_subgraph(a: SpCOO, vertices) -> SpCOO:
+    """Subgraph induced by a vertex set (``InducedSubgraphs2Procs``,
+    ``SpParMat.h:108``): A(v, v) by index translation."""
+    vertices = np.asarray(vertices)
+    k = vertices.shape[0]
+    import jax.numpy as _jnp
+
+    return spref_gather(
+        a, _jnp.asarray(vertices), _jnp.asarray(vertices),
+        out_rows=int(k), out_cols=int(k),
+    )
+
+
+def remove_loops(a: SpCOO) -> SpCOO:
+    """Drop diagonal entries (``SpParMat::RemoveLoops``, ``SpParMat.cpp:3257``)."""
+    return _compact(a, a.row != a.col)
+
+
+def add_loops(a: SpCOO, value=1.0, out_capacity: int | None = None) -> SpCOO:
+    """Set diagonal entries to ``value`` where absent
+    (``SpParMat::AddLoops``, ``SpParMat.cpp:3294``)."""
+    from combblas_tpu.ops.coo import merge
+    from combblas_tpu.ops.ewise import ewise_apply
+
+    n = min(a.shape)
+    eye = SpCOO.from_arrays(
+        np.arange(n), np.arange(n),
+        np.full(n, value, np.asarray(a.val).dtype), a.shape,
+    )
+    # union, keeping A's value where the diagonal already exists
+    return ewise_apply(
+        a, eye, _keep_a_else_b, mode="union",
+        out_capacity=out_capacity or (a.capacity + eye.capacity),
+    )
+
+
+def _keep_a_else_b(x, y):
+    import jax.numpy as _jnp
+
+    return _jnp.where(x != 0, x, y)
+
+
+def prune_ktips(a: SpCOO, k: int = 1, rounds: int | None = None) -> SpCOO:
+    """Iteratively remove "tip" vertices of degree <= k (genome-assembly
+    k-tips pruning, ``ReleaseTests/KTipsTest``): drop all edges incident to
+    low-degree vertices until fixpoint (or ``rounds`` iterations)."""
+    from combblas_tpu.ops.reduce import nnz_per
+    import jax.numpy as _jnp
+
+    rounds = rounds if rounds is not None else a.shape[0]
+    cur = a
+    for _ in range(rounds):
+        deg = nnz_per(cur, "row") + nnz_per(cur, "col")
+        tip = deg <= k
+        m, n = cur.shape
+        hit = tip[_jnp.minimum(cur.row, m - 1)] | tip[_jnp.minimum(cur.col, n - 1)]
+        hit = hit & cur.mask()
+        if int(_jnp.sum(hit)) == 0:
+            break
+        nxt = _compact(cur, ~hit)
+        cur = nxt
+    return cur
 
 
 def spasgn(a: SpCOO, ri, ci, b: SpCOO, out_capacity: int | None = None) -> SpCOO:

@@ -107,3 +107,42 @@ def test_prune_column():
     pruned = prune_column(a, jnp.asarray(th), lambda v, t: v < t)
     expect = np.where(d >= th[None, :], d, 0.0)
     np.testing.assert_allclose(np.asarray(pruned.to_dense()), expect, rtol=1e-6)
+
+
+def test_loops_and_induced():
+    from combblas_tpu.ops.indexing import add_loops, induced_subgraph, remove_loops
+
+    d = rand_sparse(8, 8, 0.4, seed=140)
+    np.fill_diagonal(d, 0)
+    d[2, 2] = 0.7
+    a = SpCOO.from_dense(d)
+    nl = remove_loops(a)
+    expect = d.copy()
+    np.fill_diagonal(expect, 0)
+    np.testing.assert_allclose(np.asarray(nl.to_dense()), expect, rtol=1e-6)
+    wl = add_loops(a, 2.0)
+    expect = d.copy()
+    for i in range(8):
+        if expect[i, i] == 0:
+            expect[i, i] = 2.0
+    np.testing.assert_allclose(np.asarray(wl.to_dense()), expect, rtol=1e-6)
+    verts = [1, 3, 5]
+    sub = induced_subgraph(a, verts)
+    np.testing.assert_allclose(
+        np.asarray(sub.to_dense()), d[np.ix_(verts, verts)], rtol=1e-6
+    )
+
+
+def test_prune_ktips():
+    from combblas_tpu.ops.indexing import prune_ktips
+
+    # path 0-1-2-3 attached to a triangle 3-4-5: tips 0,1,2 get pruned
+    d = np.zeros((6, 6), np.float32)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    for i, j in edges:
+        d[i, j] = d[j, i] = 1.0
+    pruned = prune_ktips(SpCOO.from_dense(d), k=2)
+    dd = np.asarray(pruned.to_dense())
+    # triangle survives, path edges gone
+    assert dd[3, 4] and dd[4, 5] and dd[5, 3]
+    assert not dd[0, 1] and not dd[1, 2] and not dd[2, 3]
