@@ -37,7 +37,12 @@ from combblas_tpu.parallel.grid import ProcGrid
 from combblas_tpu.parallel.summa import _panel_a, _panel_b_rp
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["Dist3DSpMat", "summa3d_spgemm", "summa3d_bounds"]
+__all__ = [
+    "Dist3DSpMat",
+    "summa3d_spgemm",
+    "summa3d_bounds",
+    "mem_efficient_spgemm3d",
+]
 
 _SPEC3 = P("l", "r", "c", None)
 _NSPEC3 = P("l", "r", "c")
@@ -274,6 +279,66 @@ def summa3d_spgemm(
         row=crow, col=ccol, val=cval, nnz=cnnz,
         gshape=(a.gshape[0], b.gshape[1]), grid=grid, split="blockcol",
     )
+
+
+def _col_slab3d(b: Dist3DSpMat, lo: int, hi: int) -> Dist3DSpMat:
+    """Mask B3 to block-local columns [lo, hi) — ColSplit for the 3D phased
+    path (entries outside become per-block sentinels, blocks re-sorted)."""
+    mb, nb = b.block_shape()
+    cap = b.row.shape[-1]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = (idx < b.nnz[..., None]) & (b.col >= lo) & (b.col < hi)
+    row = jnp.where(valid, b.row, mb)
+    col = jnp.where(valid, b.col, nb)
+    val = jnp.where(valid, b.val, 0)
+    row, col, val = jax.lax.sort((row, col, val), dimension=-1, num_keys=2)
+    return dataclasses.replace(
+        b, row=row, col=col, val=val,
+        nnz=jnp.sum(valid, axis=-1).astype(jnp.int32),
+    )
+
+
+def _concat3d(a: Dist3DSpMat, b: Dist3DSpMat) -> Dist3DSpMat:
+    """Entrywise concat of two same-layout 3D matrices with disjoint columns
+    (phase outputs), blocks re-sorted."""
+    row = jnp.concatenate([a.row, b.row], axis=-1)
+    col = jnp.concatenate([a.col, b.col], axis=-1)
+    val = jnp.concatenate([a.val, b.val], axis=-1)
+    row, col, val = jax.lax.sort((row, col, val), dimension=-1, num_keys=2)
+    return dataclasses.replace(a, row=row, col=col, val=val, nnz=a.nnz + b.nnz)
+
+
+def mem_efficient_spgemm3d(
+    a: Dist3DSpMat,
+    b: Dist3DSpMat,
+    sr: Semiring = PLUS_TIMES,
+    phases: int = 1,
+    flops_cap: int | None = None,
+    out_capacity: int | None = None,
+    phase_hook=None,
+) -> Dist3DSpMat:
+    """Phased 3D SpGEMM (``MemEfficientSpGEMM3D``, ``ParFriends.h:3215``):
+    column slabs of B per phase, each slab through the layer-local SUMMA +
+    fiber reduction, outputs concatenated (disjoint column ranges).
+    ``phase_hook`` (e.g. MCL pruning) runs on each phase's product."""
+    if flops_cap is None or out_capacity is None:
+        fc, oc = summa3d_bounds(a, b)
+        flops_cap = flops_cap or max(fc // max(phases, 1), 1024)
+        out_capacity = out_capacity or max(oc // max(phases, 1), 1024)
+    _, nb = b.block_shape()
+    slab = -(-nb // phases)
+    acc = None
+    for p in range(phases):
+        lo, hi = p * slab, min((p + 1) * slab, nb)
+        if lo >= hi:
+            break
+        bp = _col_slab3d(b, lo, hi) if phases > 1 else b
+        cp = summa3d_spgemm(a, bp, sr, flops_cap=flops_cap,
+                            out_capacity=out_capacity)
+        if phase_hook is not None:
+            cp = phase_hook(cp)
+        acc = cp if acc is None else _concat3d(acc, cp)
+    return acc
 
 
 def summa3d_bounds(a: Dist3DSpMat, b: Dist3DSpMat) -> Tuple[int, int]:

@@ -53,3 +53,18 @@ def test_summa3d_square():
     np.testing.assert_allclose(
         np.asarray(C.to_local().to_dense()), da @ da, rtol=1e-5, atol=1e-6
     )
+
+
+def test_mem_efficient_3d_phases():
+    from combblas_tpu.parallel.summa3d import mem_efficient_spgemm3d
+
+    da = rand_sparse(16, 16, 0.35, seed=84)
+    db = rand_sparse(16, 16, 0.35, seed=85)
+    g = grid3d(2)
+    A = Dist3DSpMat.from_dist2d(SpCOO.from_dense(da), g, "col")
+    B = Dist3DSpMat.from_dist2d(SpCOO.from_dense(db), g, "row")
+    for phases in (1, 2):
+        C = mem_efficient_spgemm3d(A, B, phases=phases)
+        np.testing.assert_allclose(
+            np.asarray(C.to_local().to_dense()), da @ db, rtol=1e-4, atol=1e-6
+        )
