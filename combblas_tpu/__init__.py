@@ -27,6 +27,13 @@ from combblas_tpu.semiring import (
     Semiring,
     get_semiring,
 )
-from combblas_tpu.ops.coo import SpCOO, merge, sort_coo
+from combblas_tpu.ops.coo import SpCOO, find, merge, sort_coo
+from combblas_tpu.ops.spgemm import spgemm_auto
+from combblas_tpu.ops.spmv import spmm, spmsv_masked, spmv, spmv_transpose
 
 __version__ = "0.1.0"
+
+
+def square(a: SpCOO, sr=PLUS_TIMES, **kw) -> SpCOO:
+    """A² convenience (``SpParMat::Square``, ``SpParMat.cpp:3456``)."""
+    return spgemm_auto(a, a, sr, **kw)

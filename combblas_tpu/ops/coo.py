@@ -27,7 +27,21 @@ import numpy as np
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
 __all__ = ["SpCOO", "sort_coo", "compress_sorted", "merge", "row_split",
-           "row_concat"]
+           "row_concat", "find"]
+
+
+def find(a: "SpCOO"):
+    """Matlab-style ``[i, j, v] = find(A)`` (``SpParMat::Find``,
+    ``SpParMat.cpp:4760``): host triple extraction; round-trips through
+    ``SpCOO.from_arrays`` (the FindSparse test pattern)."""
+    import numpy as _np
+
+    nnz = int(a.nnz)
+    return (
+        _np.asarray(a.row)[:nnz],
+        _np.asarray(a.col)[:nnz],
+        _np.asarray(a.val)[:nnz],
+    )
 
 
 def _round_capacity(n: int) -> int:

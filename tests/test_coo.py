@@ -130,3 +130,13 @@ def test_load_imbalance():
     A = DistSpMat.from_local(SpCOO.from_dense(d), g)
     li = float(A.load_imbalance())
     assert li >= 1.0
+
+
+def test_find_sparse_roundtrip():
+    from combblas_tpu.ops.coo import find
+
+    d = rand_sparse(9, 11, 0.4, seed=141)
+    a = SpCOO.from_dense(d)
+    i, j, v = find(a)
+    b = SpCOO.from_arrays(i, j, v, a.shape)
+    np.testing.assert_allclose(np.asarray(b.to_dense()), d, rtol=1e-6)
