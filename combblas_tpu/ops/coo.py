@@ -342,6 +342,72 @@ def row_concat(parts: list) -> SpCOO:
                  shape=(total_m, n))
 
 
+def sort_compress(
+    i: jax.Array,
+    j: jax.Array,
+    v: jax.Array,
+    nvalid: jax.Array,
+    shape: Tuple[int, int],
+    sr: Semiring = PLUS_TIMES,
+    out_capacity: int | None = None,
+) -> SpCOO:
+    """Sort a sentinel-padded triple stream and fold duplicates — the ESC
+    back-end.  When the coordinate space packs into int31 (mb*(nb+1) < 2^31 —
+    true for every distributed block and single-chip graphs to scale ~15 per
+    dim pair), a single packed key replaces the two-key sort and the row/col
+    scatters in compression collapse into one, cutting two full passes over
+    the stream (each pass is ~100ms/8M at measured TPU scatter rates)."""
+    m, n = shape
+    cap = i.shape[0]
+    out_cap = cap if out_capacity is None else out_capacity
+    stride = n + 1  # sentinel col == n must pack without collision
+    if (m + 1) * stride < (1 << 31):
+        key = i * stride + j
+        key, v = jax.lax.sort((key, v), num_keys=1)
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        valid = idx < nvalid
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key[:-1]])
+        is_new = (key != prev) & valid
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        nnz_out = jnp.minimum(
+            jnp.maximum(seg[-1] + 1, 0) * (nvalid > 0), out_cap
+        )
+        seg_sc = jnp.where(valid, seg, out_cap)
+        if sr.add_kind == "sum":
+            out_val = jax.ops.segment_sum(
+                jnp.where(valid, v, 0), seg_sc, num_segments=out_cap
+            )
+        elif sr.add_kind == "min":
+            out_val = jax.ops.segment_min(
+                jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
+                num_segments=out_cap,
+            )
+            out_val = jnp.where(
+                jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
+            )
+        else:
+            out_val = jax.ops.segment_max(
+                jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
+                num_segments=out_cap,
+            )
+            out_val = jnp.where(
+                jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
+            )
+        sent = (m + 1) * stride - 1
+        out_key = jnp.full((out_cap,), sent, jnp.int32).at[seg_sc].set(
+            jnp.where(valid, key, sent), mode="drop"
+        )
+        return SpCOO(
+            row=jnp.minimum(out_key // stride, m),
+            col=jnp.minimum(out_key % stride, n),
+            val=out_val.astype(v.dtype),
+            nnz=nnz_out.astype(jnp.int32),
+            shape=(int(m), int(n)),
+        )
+    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
+    return compress_sorted(i, j, v, nvalid, shape, sr=sr, out_capacity=out_cap)
+
+
 def merge(
     a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, out_capacity: int | None = None
 ) -> SpCOO:

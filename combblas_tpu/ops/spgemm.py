@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.ops.coo import SpCOO, compress_sorted, sort_compress
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
 __all__ = [
@@ -172,8 +172,7 @@ def spgemm(
     """
     b_rp = b.row_ptr()
     i, j, v, total = _expand(a, b, b_rp, sr, flops_cap)
-    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
-    return compress_sorted(
+    return sort_compress(
         i, j, v, total, (a.shape[0], b.shape[1]), sr=sr, out_capacity=out_capacity
     )
 
@@ -273,8 +272,7 @@ def spgemm_rowchunked(
             shape=a.shape,
         )
         i, j, v, total = _expand(sub, b, b_rp, sr, flops_cap)
-        i, j, v = jax.lax.sort((i, j, v), num_keys=2)
-        c = compress_sorted(i, j, v, total, (m, n), sr=sr, out_capacity=slab_out_cap)
+        c = sort_compress(i, j, v, total, (m, n), sr=sr, out_capacity=slab_out_cap)
         return c.row, c.col, c.val, c.nnz
 
     rows, cols, vals, nnzs = jax.lax.map(

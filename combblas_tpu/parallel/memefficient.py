@@ -29,7 +29,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.ops.coo import SpCOO, compress_sorted, sort_compress
 from combblas_tpu.ops.spgemm import expand_products
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.parallel.summa import summa_bounds, summa_spgemm, summa_flops
@@ -84,9 +84,8 @@ def _staged_local(
             par, pac, pav, a_valid, pbc, pbv, rp[:-1], rp[1:],
             sr, stage_flops_cap, (mb, nb),
         )
-        i, j, v = jax.lax.sort((i, j, v), num_keys=2)
-        cs = compress_sorted(i, j, v, total, (mb, nb), sr=sr,
-                             out_capacity=stage_flops_cap)
+        cs = sort_compress(i, j, v, total, (mb, nb), sr=sr,
+                           out_capacity=stage_flops_cap)
         # incremental merge into the accumulator
         mrow = jnp.concatenate([acc_row, cs.row])
         mcol = jnp.concatenate([acc_col, cs.col])

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.ops.coo import SpCOO, compress_sorted, sort_compress
 from combblas_tpu.ops.spgemm import expand_products
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
@@ -94,8 +94,7 @@ def _summa_local(
         bc_g.ravel(), bv_g.ravel(), rp_lo, rp_hi,
         sr, flops_cap, (mb, nb),
     )
-    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
-    c = compress_sorted(i, j, v, total, (mb, nb), sr=sr, out_capacity=out_capacity)
+    c = sort_compress(i, j, v, total, (mb, nb), sr=sr, out_capacity=out_capacity)
     return (
         c.row.reshape(1, 1, -1),
         c.col.reshape(1, 1, -1),

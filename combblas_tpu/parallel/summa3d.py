@@ -30,7 +30,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from combblas_tpu.ops.coo import SpCOO, compress_sorted
+from combblas_tpu.ops.coo import SpCOO, compress_sorted, sort_compress
 from combblas_tpu.ops.spgemm import expand_products
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.parallel.grid import ProcGrid
@@ -209,9 +209,8 @@ def _summa3d_local(
         bc_g.ravel(), bv_g.ravel(), rp_lo, rp_hi,
         sr, flops_cap, (mb, nb),
     )
-    i, j, v = jax.lax.sort((i, j, v), num_keys=2)
-    part = compress_sorted(i, j, v, total, (mb, nb), sr=sr,
-                           out_capacity=out_capacity)
+    part = sort_compress(i, j, v, total, (mb, nb), sr=sr,
+                         out_capacity=out_capacity)
     # ---- fiber reduction along 'l' (Reductions.h:36) ----
     pr_row = jax.lax.all_gather(part.row, "l")  # (l, out_cap)
     pr_col = jax.lax.all_gather(part.col, "l")
@@ -228,10 +227,9 @@ def _summa3d_local(
     rows = jnp.where(valid, pr_row, mb).ravel()
     cols = jnp.where(valid, pr_col - lo, nb_split).ravel()
     vals = jnp.where(valid, pr_val, 0).ravel()
-    rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
     nvalid = jnp.sum(valid.astype(jnp.int32))
-    c = compress_sorted(rows, cols, vals, nvalid, (mb, nb_split), sr=sr,
-                        out_capacity=out_capacity)
+    c = sort_compress(rows, cols, vals, nvalid, (mb, nb_split), sr=sr,
+                      out_capacity=out_capacity)
     return (
         c.row.reshape(1, 1, 1, -1),
         c.col.reshape(1, 1, 1, -1),
