@@ -64,3 +64,19 @@ def trace(name: str):
     """Named region for the JAX/XLA profiler (xprof timeline)."""
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def device_memory_report() -> str:
+    """Per-device memory usage summary (the reference's SHOW_MEMORY_USAGE
+    per-phase prints, ``ParFriends.h:643-717``)."""
+    lines = []
+    for d in jax.local_devices():
+        stats = d.memory_stats() or {}
+        used = stats.get("bytes_in_use", 0)
+        peak = stats.get("peak_bytes_in_use", 0)
+        limit = stats.get("bytes_limit", 0)
+        lines.append(
+            f"{d}: in_use={used/1e9:.2f}GB peak={peak/1e9:.2f}GB "
+            f"limit={limit/1e9:.2f}GB"
+        )
+    return "\n".join(lines)
