@@ -8,9 +8,11 @@ terribly onto a vector machine, so the design here is the ESC scheme
 (expand -> sort -> compress), which is bandwidth-bound and fully VPU-parallel:
 
 1. *expand*: every product a_ik * b_kj becomes one slot of a flat buffer; the
-   slot -> (A-nonzero, B-offset) mapping is a vectorized searchsorted over the
-   per-nonzero FLOP prefix sum (the same quantity the reference's symbolic pass
-   computes).
+   slot -> (A-nonzero, B-offset) mapping forward-fills per-run A-side fields
+   with delta-scatter + int32 cumsum (exact by modular telescoping), leaving
+   only the per-slot B gather — random gather is the one op XLA-on-TPU runs
+   slowly (~116M lookups/s measured), so the design minimizes gathers, never
+   uses searchsorted, and never materializes multi-column gather outputs.
 2. *sort*: one multi-key ``lax.sort`` by (i, j) — int32 keys, no packing.
 3. *compress*: flag + prefix-sum + segment reduction with the semiring's add
    (see :func:`combblas_tpu.ops.coo.compress_sorted`).
@@ -69,7 +71,6 @@ def expand_products(
     """
     m_sent, n_sent = out_sentinels
     kk = rp_lo.shape[0]
-    cap_a = a_row.shape[0]
     cap_b = b_col.shape[0]
     acol = jnp.minimum(a_col, kk - 1)
     cnt = jnp.where(a_valid, rp_hi[acol] - rp_lo[acol], 0)
@@ -77,64 +78,58 @@ def expand_products(
     total = offs[-1]
     starts = offs - cnt
     t = jnp.arange(flops_cap, dtype=jnp.int32)
-    # slot -> source A-nonzero WITHOUT searchsorted (30x slower on TPU than
-    # everything else in this kernel, measured): scatter each producing
-    # nonzero's id at its run start (starts are strictly increasing over
-    # producing nonzeros, so positions are unique), then a running max fills
-    # the runs.  Same trick recovers each slot's run start.
+    # Per-slot A-side metadata WITHOUT any per-slot gather (XLA random gather
+    # measures ~116M lookups/s on this chip — 30x slower than a scan pass):
+    # every A-side field is forward-filled across its run by the
+    # delta-scatter + cumsum trick: scatter (payload - previous producing
+    # payload) at each run start (starts are strictly increasing over
+    # producing nonzeros, so positions are unique), then an int32 cumsum
+    # telescopes to the payload value everywhere in the run.  Wraparound is
+    # harmless — modular telescoping is exact — so float payloads ride their
+    # raw bits (bitcast), making the fill EXACT for any 32-bit field.  No
+    # monotonicity of a_row is assumed (SUMMA panels concatenate blocks whose
+    # row ids restart).
     has = cnt > 0
     pos = jnp.where(has, starts, flops_cap)  # dropped when out of range
-    e_ids = jnp.arange(cap_a, dtype=jnp.int32)
-    src = jax.lax.cummax(
-        jnp.zeros((flops_cap,), jnp.int32).at[pos].max(e_ids, mode="drop")
-    )
     valid = t < total
-    packable = (
-        max(flops_cap, cap_b, m_sent, n_sent) < _EXPAND_INT_LIMIT
-        and jnp.issubdtype(a_val.dtype, jnp.floating)
-        and jnp.issubdtype(b_val.dtype, jnp.floating)
-    )
-    if packable:
-        # Per-slot lookups as ONE wide gather per operand side: pack the
-        # A-side (row, val, b-row-start, run-start) and B-side (col, val)
-        # into float32 tables — integer fields are exact in f32 below 2^24
-        # (guarded above; wide gathers measure cheaper than repeated 1-wide).
-        b_start = rp_lo[acol].astype(jnp.float32)
-        a_tab = jnp.stack(
-            [
-                a_row.astype(jnp.float32),
-                a_val.astype(jnp.float32),
-                b_start,
-                starts.astype(jnp.float32),
-            ],
-            axis=1,
+    cap_a = a_row.shape[0]
+    rank = jnp.cumsum(has.astype(jnp.int32)) - 1  # rank among producing nnz
+    r_sc = jnp.where(has, rank, cap_a)
+
+    def _fill(payload_int):
+        compact = jnp.zeros((cap_a,), jnp.int32).at[r_sc].set(
+            payload_int, mode="drop"
         )
-        a_g = a_tab[src]  # (flops_cap, 4)
-        within = t - a_g[:, 3].astype(jnp.int32)
-        b_idx = jnp.minimum(a_g[:, 2].astype(jnp.int32) + within, cap_b - 1)
-        b_tab = jnp.stack(
-            [b_col.astype(jnp.float32), b_val.astype(jnp.float32)], axis=1
+        prev = compact[jnp.maximum(rank - 1, 0)]
+        delta = jnp.where(rank > 0, payload_int - prev, payload_int)
+        seeded = jnp.zeros((flops_cap,), jnp.int32).at[pos].set(
+            delta, mode="drop"
         )
-        b_g = b_tab[b_idx]  # (flops_cap, 2)
-        i = jnp.where(valid, a_g[:, 0].astype(jnp.int32), m_sent)
-        j = jnp.where(valid, b_g[:, 0].astype(jnp.int32), n_sent)
-        v = jnp.where(valid, sr.mul(a_g[:, 1], b_g[:, 1]), 0)
-        return i, j, v, total
-    # exact path for huge capacities / integer values: separate int gathers
-    within = t - jax.lax.cummax(
-        jnp.zeros((flops_cap,), jnp.int32).at[pos].max(starts, mode="drop")
-    )
-    b_idx = jnp.minimum(rp_lo[jnp.minimum(a_col[src], kk - 1)] + within,
-                        cap_b - 1)
-    i = jnp.where(valid, a_row[src], m_sent)
+        return jnp.cumsum(seeded)
+
+    # b_idx = b_start + (t - run_start) = t + shift; bias keeps shift >= 0.
+    shift = rp_lo[acol] - starts + flops_cap
+    i = _fill(a_row)
+    shift_f = _fill(shift)
+    a_val_f = jax.lax.bitcast_convert_type(
+        _fill(jax.lax.bitcast_convert_type(a_val.astype(jnp.float32),
+                                           jnp.int32)),
+        jnp.float32,
+    ).astype(a_val.dtype) if jnp.issubdtype(a_val.dtype, jnp.floating) else \
+        _fill(a_val.astype(jnp.int32)).astype(a_val.dtype)
+    b_idx = jnp.minimum(t + shift_f - flops_cap, cap_b - 1)
+    b_idx = jnp.maximum(b_idx, 0)
+    # The one unavoidable random access (B's column id and value per product)
+    # as two 1-wide gathers.  Wide (N, k) gathers are NOT used: gather cost on
+    # TPU is per-index (not per-byte), and a materialized (N, 2) f32 output
+    # tiles to T(8, 128) — a 64x HBM padding blowup.
     j = jnp.where(valid, b_col[b_idx], n_sent)
-    v = jnp.where(valid, sr.mul(a_val[src], b_val[b_idx]), 0)
+    bv = b_val[b_idx]
+    i = jnp.where(valid, i, m_sent)
+    v = jnp.where(valid, sr.mul(a_val_f, bv), 0)
     return i, j, v, total
 
 
-#: integer fields ride float32 lanes inside expand_products; all row/col ids
-#: and buffer offsets must stay below 2^24 for exactness.
-_EXPAND_INT_LIMIT = 1 << 24
 
 
 def _expand(a: SpCOO, b: SpCOO, b_rp: jax.Array, sr: Semiring, flops_cap: int):
