@@ -70,7 +70,19 @@ def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
 
     c0 = spgemm_auto(a, a, max_flops_cap=max_flops_cap)
     tight = round_capacity_frac(int(c0.nnz))
-    if fc <= max_flops_cap:
+    from combblas_tpu.ops.spgemm import (
+        _pallas_ok,
+        spgemm_pallas,
+        spgemm_pallas_bounds,
+    )
+
+    if _pallas_ok(a, a):
+        chunk_cap, _ = spgemm_pallas_bounds(a, a)
+    if _pallas_ok(a, a) and chunk_cap * 128 <= max(max_flops_cap, fc * 2):
+        def run():
+            return spgemm_pallas(a, a, chunk_cap=chunk_cap,
+                                 out_capacity=tight)
+    elif fc <= max_flops_cap:
         def run():
             return spgemm(a, a, flops_cap=fc, out_capacity=tight)
     else:

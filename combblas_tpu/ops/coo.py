@@ -26,8 +26,8 @@ import numpy as np
 
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["SpCOO", "sort_coo", "compress_sorted", "merge", "row_split",
-           "row_concat", "find"]
+__all__ = ["SpCOO", "sort_coo", "compress_sorted", "sort_compress_packed",
+           "merge", "row_split", "row_concat", "find"]
 
 
 def find(a: "SpCOO"):
@@ -342,6 +342,68 @@ def row_concat(parts: list) -> SpCOO:
                  shape=(total_m, n))
 
 
+def sort_compress_packed(
+    key: jax.Array,
+    v: jax.Array,
+    nvalid: jax.Array,
+    shape: Tuple[int, int],
+    sr: Semiring = PLUS_TIMES,
+    out_capacity: int | None = None,
+) -> SpCOO:
+    """Sort a packed-key stream (key = i*(n+1) + j; padding keys must sort
+    after every real key) and fold duplicates.  The packed back-end of
+    :func:`sort_compress`, exposed separately because the Pallas expansion
+    kernel emits packed keys directly.  All compression scatters carry
+    ``indices_are_sorted`` (a measured ~25% scatter win on TPU — segment ids
+    are sorted by construction)."""
+    m, n = shape
+    stride = n + 1
+    cap = key.shape[0]
+    out_cap = cap if out_capacity is None else out_capacity
+    key, v = jax.lax.sort((key, v), num_keys=1)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < nvalid
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key[:-1]])
+    is_new = (key != prev) & valid
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    nnz_out = jnp.minimum(
+        jnp.maximum(seg[-1] + 1, 0) * (nvalid > 0), out_cap
+    )
+    seg_sc = jnp.where(valid, seg, out_cap)
+    if sr.add_kind == "sum":
+        out_val = jax.ops.segment_sum(
+            jnp.where(valid, v, 0), seg_sc, num_segments=out_cap,
+            indices_are_sorted=True,
+        )
+    elif sr.add_kind == "min":
+        out_val = jax.ops.segment_min(
+            jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
+            num_segments=out_cap, indices_are_sorted=True,
+        )
+        out_val = jnp.where(
+            jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
+        )
+    else:
+        out_val = jax.ops.segment_max(
+            jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
+            num_segments=out_cap, indices_are_sorted=True,
+        )
+        out_val = jnp.where(
+            jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
+        )
+    sent = (m + 1) * stride - 1
+    out_key = jnp.full((out_cap,), sent, jnp.int32).at[seg_sc].set(
+        jnp.where(valid, key, sent), mode="drop", indices_are_sorted=True
+    )
+    return SpCOO(
+        row=jnp.minimum(out_key // stride, m),
+        col=jnp.minimum(out_key % stride, n),
+        val=out_val.astype(v.dtype),
+        nnz=nnz_out.astype(jnp.int32),
+        shape=(int(m), int(n)),
+    )
+
+
 def sort_compress(
     i: jax.Array,
     j: jax.Array,
@@ -363,46 +425,8 @@ def sort_compress(
     stride = n + 1  # sentinel col == n must pack without collision
     if (m + 1) * stride < (1 << 31):
         key = i * stride + j
-        key, v = jax.lax.sort((key, v), num_keys=1)
-        idx = jnp.arange(cap, dtype=jnp.int32)
-        valid = idx < nvalid
-        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key[:-1]])
-        is_new = (key != prev) & valid
-        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-        nnz_out = jnp.minimum(
-            jnp.maximum(seg[-1] + 1, 0) * (nvalid > 0), out_cap
-        )
-        seg_sc = jnp.where(valid, seg, out_cap)
-        if sr.add_kind == "sum":
-            out_val = jax.ops.segment_sum(
-                jnp.where(valid, v, 0), seg_sc, num_segments=out_cap
-            )
-        elif sr.add_kind == "min":
-            out_val = jax.ops.segment_min(
-                jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
-                num_segments=out_cap,
-            )
-            out_val = jnp.where(
-                jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
-            )
-        else:
-            out_val = jax.ops.segment_max(
-                jnp.where(valid, v, sr.zero(v.dtype)), seg_sc,
-                num_segments=out_cap,
-            )
-            out_val = jnp.where(
-                jnp.arange(out_cap, dtype=jnp.int32) < nnz_out, out_val, 0
-            )
-        sent = (m + 1) * stride - 1
-        out_key = jnp.full((out_cap,), sent, jnp.int32).at[seg_sc].set(
-            jnp.where(valid, key, sent), mode="drop"
-        )
-        return SpCOO(
-            row=jnp.minimum(out_key // stride, m),
-            col=jnp.minimum(out_key % stride, n),
-            val=out_val.astype(v.dtype),
-            nnz=nnz_out.astype(jnp.int32),
-            shape=(int(m), int(n)),
+        return sort_compress_packed(
+            key, v, nvalid, shape, sr=sr, out_capacity=out_cap
         )
     i, j, v = jax.lax.sort((i, j, v), num_keys=2)
     return compress_sorted(i, j, v, nvalid, shape, sr=sr, out_capacity=out_cap)

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from combblas_tpu.ops.coo import SpCOO, compress_sorted, sort_compress
+from combblas_tpu.ops.coo import (
+    SpCOO,
+    compress_sorted,
+    sort_compress,
+    sort_compress_packed,
+)
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
 __all__ = [
@@ -44,6 +49,8 @@ __all__ = [
     "spgemm_bounds",
     "spgemm_rowchunked",
     "spgemm_dense",
+    "spgemm_pallas",
+    "spgemm_pallas_bounds",
 ]
 
 
@@ -379,6 +386,100 @@ def spgemm_dense(
                  nnz=nnz.astype(jnp.int32), shape=(m, n))
 
 
+@jax.jit
+def _chunk_count(a: SpCOO, b: SpCOO) -> jax.Array:
+    """Number of <=128-element expansion chunks for the Pallas kernel."""
+    from combblas_tpu.ops.pallas.expand_kernel import CH
+
+    k = a.shape[1]
+    b_rp = b.row_ptr()
+    acol = jnp.minimum(a.col, k)
+    cnt = jnp.where(a.mask(), b_rp[acol + 1] - b_rp[acol], 0)
+    return jnp.sum(-(-cnt // CH))
+
+
+def spgemm_pallas_bounds(a: SpCOO, b: SpCOO) -> Tuple[int, int]:
+    """Host-side (chunk_cap, out_capacity) for :func:`spgemm_pallas`."""
+    from combblas_tpu.ops.pallas.expand_kernel import _CPB
+
+    nch = int(_chunk_count(a, b))
+    chunk_cap = max(-(-round_capacity_frac(max(nch, _CPB)) // _CPB) * _CPB,
+                    _CPB)
+    flops = int(spgemm_flops(a, b))
+    return chunk_cap, round_capacity_frac(flops)
+
+
+def _tables_2d(b: SpCOO):
+    """B's col/val buffers as (rows+1, 128) tables (one trailing pad row —
+    every chunk DMA reads two consecutive rows)."""
+    from combblas_tpu.ops.pallas.expand_kernel import CH
+
+    n = b.shape[1]
+    cap_b = b.col.shape[0]
+    rows = -(-cap_b // CH)
+    pad = rows * CH - cap_b + CH
+    bc = jnp.concatenate(
+        [b.col, jnp.full((pad,), n, jnp.int32)]).reshape(rows + 1, CH)
+    bv = jnp.concatenate(
+        [b.val, jnp.zeros((pad,), b.val.dtype)]).reshape(rows + 1, CH)
+    return bc, bv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sr", "chunk_cap", "out_capacity", "interpret")
+)
+def spgemm_pallas(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    chunk_cap: int,
+    out_capacity: int,
+    interpret: bool = False,
+) -> SpCOO:
+    """ESC SpGEMM with the Pallas segment-DMA expansion kernel
+    (:mod:`combblas_tpu.ops.pallas.expand_kernel`) — the TPU-native
+    counterpart of the reference's pointer-walking local multiply
+    (``mtSpGEMM.h:214``).  Requires (m+1)*(n+1) < 2^31 (packed keys) and
+    float32 values; callers fall back to :func:`spgemm` otherwise."""
+    from combblas_tpu.ops.pallas.expand_kernel import (
+        build_chunk_meta,
+        expand_chunks,
+    )
+
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, (a.shape, b.shape)
+    stride = n + 1
+    assert (m + 1) * stride < (1 << 31), (m, n)
+    b_rp = b.row_ptr()
+    meta, metaf, _, flops = build_chunk_meta(
+        a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], stride, chunk_cap
+    )
+    bc2, bv2 = _tables_2d(b)
+    key, val = expand_chunks(meta, metaf, bc2, bv2, sr, interpret=interpret)
+    return sort_compress_packed(
+        key, val, flops, (m, n), sr=sr, out_capacity=out_capacity
+    )
+
+
+def _pallas_ok(a: SpCOO, b: SpCOO) -> bool:
+    """Whether the Pallas expansion path applies (TPU backend, packed keys
+    fit int32, float32 values)."""
+    import jax.extend.backend as jxb
+
+    try:
+        backend = jxb.get_backend().platform
+    except Exception:
+        backend = "cpu"
+    return (
+        backend in ("tpu", "axon")
+        and (a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
+        and a.val.dtype == jnp.float32
+        and b.val.dtype == jnp.float32
+    )
+
+
 def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
                 max_flops_cap: int = 1 << 24, out_capacity: int | None = None,
                 nnz_estimate: int | None = None) -> SpCOO:
@@ -402,8 +503,15 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
             flops_cap // 2, 8
         )
         out_cap = round_capacity_frac(int(min(est, oc, max(dense_cells, 8))))
+    use_pallas = _pallas_ok(a, b)
+    if use_pallas:
+        chunk_cap, _ = spgemm_pallas_bounds(a, b)
+        use_pallas = chunk_cap * 128 <= max(max_flops_cap, flops_cap * 2)
     while True:
-        if flops_cap <= max_flops_cap:
+        if use_pallas:
+            c = spgemm_pallas(a, b, sr, chunk_cap=chunk_cap,
+                              out_capacity=out_cap)
+        elif flops_cap <= max_flops_cap:
             c = spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
         else:
             num_slabs = -(-flops_cap // max_flops_cap) * 2
