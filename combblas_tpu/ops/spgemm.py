@@ -399,12 +399,13 @@ def _chunk_count(a: SpCOO, b: SpCOO) -> jax.Array:
 
 
 def spgemm_pallas_bounds(a: SpCOO, b: SpCOO) -> Tuple[int, int]:
-    """Host-side (chunk_cap, out_capacity) for :func:`spgemm_pallas`."""
-    from combblas_tpu.ops.pallas.expand_kernel import _CPB
+    """Host-side (chunk_cap, out_capacity) for :func:`spgemm_pallas`.
 
+    chunk_cap is a multiple of 256 so the chunk-padded stream
+    (chunk_cap * 128) tiles evenly into the compress kernel's 32768-element
+    tiles."""
     nch = int(_chunk_count(a, b))
-    chunk_cap = max(-(-round_capacity_frac(max(nch, _CPB)) // _CPB) * _CPB,
-                    _CPB)
+    chunk_cap = max(-(-round_capacity_frac(max(nch, 256)) // 256) * 256, 256)
     flops = int(spgemm_flops(a, b))
     return chunk_cap, round_capacity_frac(flops)
 
@@ -442,6 +443,9 @@ def spgemm_pallas(
     counterpart of the reference's pointer-walking local multiply
     (``mtSpGEMM.h:214``).  Requires (m+1)*(n+1) < 2^31 (packed keys) and
     float32 values; callers fall back to :func:`spgemm` otherwise."""
+    from combblas_tpu.ops.pallas.compress_kernel import (
+        compress_sorted_packed_pallas,
+    )
     from combblas_tpu.ops.pallas.expand_kernel import (
         build_chunk_meta,
         expand_chunks,
@@ -453,13 +457,23 @@ def spgemm_pallas(
     stride = n + 1
     assert (m + 1) * stride < (1 << 31), (m, n)
     b_rp = b.row_ptr()
-    meta, metaf, _, flops = build_chunk_meta(
+    meta, metaf, _, _flops = build_chunk_meta(
         a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], stride, chunk_cap
     )
     bc2, bv2 = _tables_2d(b)
     key, val = expand_chunks(meta, metaf, bc2, bv2, sr, interpret=interpret)
-    return sort_compress_packed(
-        key, val, flops, (m, n), sr=sr, out_capacity=out_capacity
+    key, val = jax.lax.sort((key, val), num_keys=1)
+    out_cap = max(-(-out_capacity // 128) * 128, 2048)
+    okey, oval, nnz = compress_sorted_packed_pallas(
+        key, val, sr, out_capacity=out_cap, interpret=interpret
+    )
+    live = jnp.arange(out_cap, dtype=jnp.int32) < nnz
+    return SpCOO(
+        row=jnp.minimum(okey // stride, m),
+        col=jnp.where(live, jnp.minimum(okey % stride, n), n),
+        val=oval.astype(a.val.dtype),
+        nnz=nnz,
+        shape=(m, n),
     )
 
 

@@ -70,3 +70,36 @@ def test_pallas_empty_rows_and_sentinels():
                       out_capacity=out_cap, interpret=True)
     np.testing.assert_allclose(np.asarray(c.to_dense()), ad @ bd, rtol=1e-6)
     assert int(c.nnz) == 6
+
+
+def test_compress_kernel_multitile_spanning():
+    """Segments spanning compress-kernel tile boundaries (32768 elements)
+    must fold the cross-tile carry exactly."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.ops.pallas.compress_kernel import (
+        compress_sorted_packed_pallas,
+    )
+
+    sent = np.iinfo(np.int32).max
+    n = 3 * 32768
+    rng = np.random.default_rng(7)
+    nreal = 70000
+    keys = np.sort(rng.integers(0, 20000, nreal).astype(np.int32))
+    # force a segment spanning the first tile boundary
+    keys[32768 - 5: 32768 + 5] = keys[32768 - 5]
+    keys = np.sort(keys)
+    vals = rng.random(nreal).astype(np.float32)
+    K = np.full(n, sent, np.int32)
+    V = np.zeros(n, np.float32)
+    K[:nreal] = keys
+    V[:nreal] = vals
+    ok, ov, nnz = compress_sorted_packed_pallas(
+        jnp.asarray(K), jnp.asarray(V), PLUS_TIMES, out_capacity=1 << 15,
+        interpret=True)
+    uk, inv = np.unique(keys, return_inverse=True)
+    ref = np.zeros(len(uk), np.float64)
+    np.add.at(ref, inv, vals.astype(np.float64))
+    assert int(nnz) == len(uk)
+    np.testing.assert_array_equal(np.asarray(ok)[: len(uk)], uk)
+    np.testing.assert_allclose(np.asarray(ov)[: len(uk)], ref, rtol=1e-5)
