@@ -71,17 +71,30 @@ def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
     c0 = spgemm_auto(a, a, max_flops_cap=max_flops_cap)
     tight = round_capacity_frac(int(c0.nnz))
     from combblas_tpu.ops.spgemm import (
+        _pallas_backend_ok,
         _pallas_ok,
         spgemm_pallas,
         spgemm_pallas_bounds,
+        spgemm_pallas_rowchunked,
     )
 
-    if _pallas_ok(a, a):
+    chunk_cap = None
+    if _pallas_backend_ok(a, a):
         chunk_cap, _ = spgemm_pallas_bounds(a, a)
-    if _pallas_ok(a, a) and chunk_cap * 128 <= max(max_flops_cap, fc * 2):
+    if (chunk_cap is not None and _pallas_ok(a, a)
+            and chunk_cap * 128 <= max(max_flops_cap, fc * 2)):
         def run():
             return spgemm_pallas(a, a, chunk_cap=chunk_cap,
                                  out_capacity=tight)
+    elif chunk_cap is not None:
+        m, n = a.shape
+        key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
+        mem_slabs = -(-(chunk_cap * 128) // max_flops_cap)
+        nslabs = max(key_slabs, mem_slabs, 2)
+
+        def run():
+            return spgemm_pallas_rowchunked(a, a, num_slabs=nslabs,
+                                            out_capacity=tight)
     elif fc <= max_flops_cap:
         def run():
             return spgemm(a, a, flops_cap=fc, out_capacity=tight)
@@ -211,7 +224,7 @@ def main():
     ap.add_argument("--scale", type=int, default=14)
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--max-flops-cap", type=int, default=1 << 26)
+    ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 

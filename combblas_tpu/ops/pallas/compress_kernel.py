@@ -257,7 +257,10 @@ def compress_sorted_packed_pallas(
     assert n % tile == 0, n
     assert out_capacity % _LANES == 0, out_capacity
     assert out_capacity >= _SR * _LANES, out_capacity
-    out_rows = out_capacity // _LANES
+    # allocate SR-1 slack rows: every flush (including the final one) writes
+    # a fixed SR-1 rows, and without slack a final flush near the capacity
+    # edge would clamp backwards and overwrite earlier output rows
+    out_rows = out_capacity // _LANES + (_SR - 1)
     total_tiles = n // tile
     k2d = key.reshape(-1, _LANES)
     v2d = val.astype(jnp.float32).reshape(-1, _LANES)
@@ -296,6 +299,7 @@ def compress_sorted_packed_pallas(
     )(k2d, v2d)
     nnz_s = jnp.minimum(nnz[0], out_capacity)
     t = jnp.arange(out_capacity, dtype=jnp.int32)
-    okf = jnp.where(t < nnz_s, ok.reshape(-1), _SENT)
-    ovf = jnp.where(t < nnz_s, ov.reshape(-1), 0.0).astype(val.dtype)
+    okf = jnp.where(t < nnz_s, ok.reshape(-1)[:out_capacity], _SENT)
+    ovf = jnp.where(t < nnz_s, ov.reshape(-1)[:out_capacity], 0.0).astype(
+        val.dtype)
     return okf, ovf, nnz_s

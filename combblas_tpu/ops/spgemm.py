@@ -51,6 +51,7 @@ __all__ = [
     "spgemm_dense",
     "spgemm_pallas",
     "spgemm_pallas_bounds",
+    "spgemm_pallas_rowchunked",
 ]
 
 
@@ -477,9 +478,165 @@ def spgemm_pallas(
     )
 
 
-def _pallas_ok(a: SpCOO, b: SpCOO) -> bool:
-    """Whether the Pallas expansion path applies (TPU backend, packed keys
-    fit int32, float32 values)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "slab_rows", "slab_nnz_cap", "chunk_cap",
+                     "slab_out_cap", "interpret"),
+)
+def _pallas_slab(
+    a: SpCOO,
+    b: SpCOO,
+    s,
+    sr: Semiring,
+    *,
+    slab_rows: int,
+    slab_nnz_cap: int,
+    chunk_cap: int,
+    slab_out_cap: int,
+    interpret: bool = False,
+):
+    """One row slab of :func:`spgemm_pallas_rowchunked`: extract A's nnz
+    window for rows [s*slab_rows, (s+1)*slab_rows), rebase rows slab-local
+    (packed keys must fit int31 per slab, not per matrix), and run the Pallas
+    expand+sort+compress pipeline."""
+    m, k = a.shape
+    n = b.shape[1]
+    a_rp = a.row_ptr()
+    lo = a_rp[jnp.minimum(s * slab_rows, m)]
+    hi = a_rp[jnp.minimum((s + 1) * slab_rows, m)]
+    t = jnp.arange(slab_nnz_cap, dtype=jnp.int32)
+    src = jnp.minimum(lo + t, a.capacity - 1)
+    sel = t < (hi - lo)
+    row0 = s * slab_rows
+    sub = SpCOO(
+        row=jnp.where(sel, a.row[src] - row0, slab_rows),
+        col=jnp.where(sel, a.col[src], k),
+        val=jnp.where(sel, a.val[src], 0),
+        nnz=(hi - lo).astype(jnp.int32),
+        shape=(slab_rows, k),
+    )
+    c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
+                      out_capacity=slab_out_cap, interpret=interpret)
+    # back to global rows (padding stays at the slab sentinel -> clamp to m)
+    live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
+    grow = jnp.where(live, c.row + row0, m)
+    return grow, c.col, c.val, c.nnz
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs", "slab_rows"))
+def _slab_plan_device(a: SpCOO, b: SpCOO, *, num_slabs: int, slab_rows: int):
+    """Per-slab worst-case (nnz, chunks, flops) computed ON DEVICE — pulling
+    nnz-sized arrays to host costs tens of seconds through the tunnel, three
+    scalars cost one round-trip."""
+    from combblas_tpu.ops.pallas.expand_kernel import CH
+
+    m = a.shape[0]
+    a_rp = a.row_ptr()
+    b_rp = b.row_ptr()
+    acol = jnp.minimum(a.col, a.shape[1] - 1)
+    valid = a.mask()
+    cnt = jnp.where(valid, b_rp[acol + 1] - b_rp[acol], 0)
+    nch = jnp.where(valid, -(-cnt // CH), 0)
+    coffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+    choffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nch)])
+    bounds = jnp.minimum(
+        jnp.arange(num_slabs + 1, dtype=jnp.int32) * slab_rows, m)
+    edges = a_rp[bounds]
+    worst_nnz = jnp.max(edges[1:] - edges[:-1])
+    worst_ch = jnp.max(choffs[edges[1:]] - choffs[edges[:-1]])
+    worst_fl = jnp.max(coffs[edges[1:]] - coffs[edges[:-1]])
+    return worst_nnz, worst_ch, worst_fl
+
+
+def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int):
+    """Host-side uniform capacities for the slab loop: (num_slabs, slab_rows,
+    slab_nnz_cap, chunk_cap, max_slab_flops)."""
+    m = a.shape[0]
+    num_slabs = max(1, min(num_slabs, m))
+    slab_rows = -(-m // num_slabs)
+    num_slabs = -(-m // slab_rows)
+    wn, wc, wf = _slab_plan_device(a, b, num_slabs=num_slabs,
+                                   slab_rows=slab_rows)
+    worst_nnz, worst_ch, worst_fl = int(wn), int(wc), int(wf)
+    slab_nnz_cap = round_capacity_frac(max(worst_nnz, 8))
+    chunk_cap = max(-(-round_capacity_frac(max(worst_ch, 256)) // 256) * 256,
+                    256)
+    return num_slabs, slab_rows, slab_nnz_cap, chunk_cap, max(worst_fl, 1)
+
+
+def spgemm_pallas_rowchunked(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    num_slabs: int,
+    out_capacity: int,
+    interpret: bool = False,
+) -> SpCOO:
+    """Memory-bounded Pallas SpGEMM over disjoint row slabs of A (host-driven
+    slab loop; each slab runs the kernel pipeline).  Slabs emit disjoint,
+    already-sorted global row ranges, so assembly is one sentinel-dropping
+    scatter (same property as :func:`spgemm_rowchunked`)."""
+    m, k = a.shape
+    n = b.shape[1]
+    num_slabs, slab_rows, slab_nnz_cap, chunk_cap, worst_fl = \
+        _pallas_slab_plan(a, b, num_slabs)
+    assert (slab_rows + 1) * (n + 1) < (1 << 31), (slab_rows, n)
+    # slab output ~ its fair share of the caller's estimate (2x skew slack);
+    # a truncated slab saturates the reported nnz so spgemm_auto retries
+    # with a bigger budget
+    slab_out_cap = max(
+        round_capacity_frac(
+            min(worst_fl, max(2 * out_capacity // num_slabs, 2048))
+        ),
+        2048,
+    )
+    out = (
+        jnp.full((out_capacity,), m, jnp.int32),
+        jnp.full((out_capacity,), n, jnp.int32),
+        jnp.zeros((out_capacity,), a.val.dtype),
+        jnp.asarray(0, jnp.int32),   # running nnz
+        jnp.asarray(False),          # any slab truncated
+    )
+    for s in range(num_slabs):
+        part = _pallas_slab(
+            a, b, jnp.asarray(s, jnp.int32), sr,
+            slab_rows=slab_rows, slab_nnz_cap=slab_nnz_cap,
+            chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
+            interpret=interpret,
+        )
+        out = _append_slab(out, part, slab_out_cap=slab_out_cap,
+                           out_capacity=out_capacity)
+    row, col, val, total, truncated = out
+    total = jnp.minimum(jnp.where(truncated, out_capacity, total),
+                        out_capacity)
+    return SpCOO(row=row, col=col, val=val, nnz=total.astype(jnp.int32),
+                 shape=(m, n))
+
+
+@functools.partial(jax.jit, static_argnames=("slab_out_cap", "out_capacity"))
+def _append_slab(out, part, *, slab_out_cap, out_capacity):
+    """Scatter one slab's compacted entries at the running output offset."""
+    row, col, val, total, truncated = out
+    grow, gcol, gval, nnz = part
+    pos = jnp.arange(slab_out_cap, dtype=jnp.int32)
+    dest = jnp.where(pos < nnz, total + pos, out_capacity)
+    return (
+        row.at[dest].set(grow[:slab_out_cap], mode="drop",
+                         indices_are_sorted=True),
+        col.at[dest].set(gcol[:slab_out_cap], mode="drop",
+                         indices_are_sorted=True),
+        val.at[dest].set(gval[:slab_out_cap], mode="drop",
+                         indices_are_sorted=True),
+        total + nnz,
+        truncated | (nnz >= slab_out_cap),
+    )
+
+
+def _pallas_backend_ok(a: SpCOO, b: SpCOO) -> bool:
+    """Whether the Pallas kernel path applies at all (TPU backend, float32
+    values).  Packed-key range is handled per call site — the row-chunked
+    variant rebases keys per slab."""
     import jax.extend.backend as jxb
 
     try:
@@ -488,9 +645,16 @@ def _pallas_ok(a: SpCOO, b: SpCOO) -> bool:
         backend = "cpu"
     return (
         backend in ("tpu", "axon")
-        and (a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
         and a.val.dtype == jnp.float32
         and b.val.dtype == jnp.float32
+    )
+
+
+def _pallas_ok(a: SpCOO, b: SpCOO) -> bool:
+    """Single-shot Pallas path: backend + packed keys fit int32."""
+    return (
+        _pallas_backend_ok(a, b)
+        and (a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
     )
 
 
@@ -517,14 +681,27 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
             flops_cap // 2, 8
         )
         out_cap = round_capacity_frac(int(min(est, oc, max(dense_cells, 8))))
-    use_pallas = _pallas_ok(a, b)
-    if use_pallas:
+    use_pallas = use_pallas_slabs = False
+    if _pallas_backend_ok(a, b):
         chunk_cap, _ = spgemm_pallas_bounds(a, b)
-        use_pallas = chunk_cap * 128 <= max(max_flops_cap, flops_cap * 2)
+        limit = max(max_flops_cap, flops_cap * 2)
+        single_ok = (a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
+        if single_ok and chunk_cap * 128 <= limit:
+            use_pallas = True
+        else:
+            # enough slabs for both the memory limit and per-slab key range
+            m, n = a.shape[0], b.shape[1]
+            key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
+            mem_slabs = -(-(chunk_cap * 128) // max_flops_cap)
+            pallas_num_slabs = max(key_slabs, mem_slabs, 2)
+            use_pallas_slabs = pallas_num_slabs <= max(a.shape[0], 1)
     while True:
         if use_pallas:
             c = spgemm_pallas(a, b, sr, chunk_cap=chunk_cap,
                               out_capacity=out_cap)
+        elif use_pallas_slabs:
+            c = spgemm_pallas_rowchunked(
+                a, b, sr, num_slabs=pallas_num_slabs, out_capacity=out_cap)
         elif flops_cap <= max_flops_cap:
             c = spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
         else:

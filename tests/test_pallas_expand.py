@@ -103,3 +103,17 @@ def test_compress_kernel_multitile_spanning():
     assert int(nnz) == len(uk)
     np.testing.assert_array_equal(np.asarray(ok)[: len(uk)], uk)
     np.testing.assert_allclose(np.asarray(ov)[: len(uk)], ref, rtol=1e-5)
+
+
+def test_pallas_rowchunked_matches_dense():
+    from combblas_tpu.ops.spgemm import spgemm_pallas_rowchunked
+
+    m, k, n = 200, 160, 120
+    ad = _rand(m, k, 0.05, 11)
+    bd = _rand(k, n, 0.05, 12)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    c = spgemm_pallas_rowchunked(a, b, PLUS_TIMES, num_slabs=4,
+                                 out_capacity=1 << 14, interpret=True)
+    np.testing.assert_allclose(np.asarray(c.to_dense()), ad @ bd,
+                               rtol=1e-5, atol=1e-6)
