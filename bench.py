@@ -78,18 +78,21 @@ def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
         spgemm_pallas_rowchunked,
     )
 
+    from combblas_tpu.ops.spgemm import stream_capacity
+
     chunk_cap = None
     if _pallas_backend_ok(a, a):
         chunk_cap, _ = spgemm_pallas_bounds(a, a)
+        scap = stream_capacity(flops)
     if (chunk_cap is not None and _pallas_ok(a, a)
-            and chunk_cap * 128 <= max(max_flops_cap, fc * 2)):
+            and scap <= max(max_flops_cap, fc * 2)):
         def run():
             return spgemm_pallas(a, a, chunk_cap=chunk_cap,
-                                 out_capacity=tight)
+                                 out_capacity=tight, stream_cap=scap)
     elif chunk_cap is not None:
         m, n = a.shape
         key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
-        mem_slabs = -(-(chunk_cap * 128) // max_flops_cap)
+        mem_slabs = -(-flops // max_flops_cap)
         nslabs = max(key_slabs, mem_slabs, 2)
 
         def run():
@@ -154,11 +157,14 @@ def bench_bfs(scale: int, iters: int):
     a = rmat_matrix(jax.random.PRNGKey(9), scale=scale, edgefactor=16,
                     symmetrize=True, remove_self_loops=True)
     nnz = int(a.nnz)
-    parents, levels = bfs_local(a, 0)
+    # Graph500 rule: sample search keys among vertices with degree >= 1
+    deg_rows = np.unique(np.asarray(a.row)[:nnz])
+    roots = deg_rows[:: max(1, len(deg_rows) // max(iters, 1))][:iters + 1]
+    parents, levels = bfs_local(a, int(roots[0]))
     visited = int((np.asarray(levels) >= 0).sum())  # sync
     t0 = time.perf_counter()
     for i in range(iters):
-        parents, levels = bfs_local(a, i % a.shape[0])
+        parents, levels = bfs_local(a, int(roots[i % len(roots)]))
         visited = int((np.asarray(levels) >= 0).sum())
     dt = (time.perf_counter() - t0) / iters
     # Graph500 TEPS counts traversed edges = edges in the reached component

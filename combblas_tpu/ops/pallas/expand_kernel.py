@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["build_chunk_meta", "expand_chunks", "CH"]
+__all__ = ["build_chunk_meta", "expand_chunks", "expand_chunks_compact", "CH"]
 
 #: chunk element size == lane width; one DMA covers CHROWS+1=2 table rows.
 CH = 128
@@ -149,6 +149,187 @@ def _expand_kernel(sr: Semiring):
         jax.lax.fori_loop(0, _CPB, consume, 0, unroll=True)
 
     return kernel
+
+
+_SR = 16  # staging rows for the compacted writer; flush emits _SR-1 rows
+
+
+def _expand_compact_kernel(sr: Semiring, out_rows: int, total_steps: int):
+    def kernel(meta_ref, metaf_ref, bc_ref, bv_ref, _kinit_ref, _vinit_ref,
+               okey_ref, oval_ref, cnt_ref, scr_c, scr_v, stage_k, stage_v,
+               st, sems, sem_k, sem_v):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            st[0] = 0   # staging fill count
+            st[1] = 0   # output row cursor
+
+        def issue(k, _):
+            s = meta_ref[k, 0]
+            pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
+                                  sems.at[k, 0]).start()
+            pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
+                                  sems.at[k, 1]).start()
+            return 0
+
+        jax.lax.fori_loop(0, _CPB, issue, 0, unroll=True)
+
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, CH), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+        max_flush_row = out_rows - (_SR - 1)
+
+        def consume(k, _):
+            mis = meta_ref[k, 1]
+            vlen = meta_ref[k, 2]
+            kb = meta_ref[k, 3]
+            av = metaf_ref[k, 0]
+            pltpu.make_async_copy(bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                                  scr_c.at[k], sems.at[k, 0]).wait()
+            pltpu.make_async_copy(bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                                  scr_v.at[k], sems.at[k, 1]).wait()
+
+            @pl.when(vlen > 0)
+            def _():
+                idx = (lane2 + mis) % CH
+                wrap = (lane2 + mis) >= CH
+                cr = jnp.take_along_axis(scr_c[k], idx, axis=1)
+                vr = jnp.take_along_axis(scr_v[k], idx, axis=1)
+                calign = jnp.where(wrap, pltpu.roll(cr, 1, 0), cr)[:1]
+                valign = jnp.where(wrap, pltpu.roll(vr, 1, 0), vr)[:1]
+                keyrow = kb + calign
+                valrow = sr.mul(av, valign)
+                fc = st[0]
+                fo = fc % CH
+                ro = fc // CH
+                rk = pltpu.roll(keyrow, fo, 1)
+                rv = pltpu.roll(valrow, fo, 1)
+                m1 = (lane1 >= fo) & (lane1 < fo + vlen)
+                pltpu.store(stage_k.at[pl.ds(ro, 1), :], rk, mask=m1)
+                pltpu.store(stage_v.at[pl.ds(ro, 1), :], rv, mask=m1)
+                m2 = lane1 < (fo + vlen - CH)
+                pltpu.store(stage_k.at[pl.ds(ro + 1, 1), :], rk, mask=m2)
+                pltpu.store(stage_v.at[pl.ds(ro + 1, 1), :], rv, mask=m2)
+                st[0] = fc + vlen
+
+            @pl.when(st[0] >= (_SR - 1) * CH)
+            def _():
+                orow = jnp.minimum(st[1], max_flush_row)
+                dk = pltpu.make_async_copy(
+                    stage_k.at[pl.ds(0, _SR - 1)],
+                    okey_ref.at[pl.ds(orow, _SR - 1)], sem_k)
+                dv = pltpu.make_async_copy(
+                    stage_v.at[pl.ds(0, _SR - 1)],
+                    oval_ref.at[pl.ds(orow, _SR - 1)], sem_v)
+                dk.start(); dv.start(); dk.wait(); dv.wait()
+                stage_k[0, :] = stage_k[_SR - 1, :]
+                stage_v[0, :] = stage_v[_SR - 1, :]
+                st[0] = st[0] - (_SR - 1) * CH
+                st[1] = st[1] + (_SR - 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, _CPB, consume, 0, unroll=True)
+
+        @pl.when(b == total_steps - 1)
+        def _():
+            # sentinel-fill the staging tail so the fixed-width final flush
+            # never exposes stale rows past the true fill point
+            fc = st[0]
+            fo = fc % CH
+            ro = fc // CH
+            pltpu.store(stage_k.at[pl.ds(ro, 1), :],
+                        jnp.full((1, CH), _SENT, jnp.int32),
+                        mask=lane1 >= fo)
+            pltpu.store(stage_v.at[pl.ds(ro, 1), :],
+                        jnp.zeros((1, CH), stage_v.dtype),
+                        mask=lane1 >= fo)
+            for r in range(1, _SR):
+                @pl.when(r > ro)
+                def _():
+                    stage_k[r, :] = jnp.full((CH,), _SENT, jnp.int32)
+                    stage_v[r, :] = jnp.zeros((CH,), stage_v.dtype)
+
+            orow = jnp.minimum(st[1], max_flush_row)
+            dk = pltpu.make_async_copy(
+                stage_k.at[pl.ds(0, _SR - 1)],
+                okey_ref.at[pl.ds(orow, _SR - 1)], sem_k)
+            dv = pltpu.make_async_copy(
+                stage_v.at[pl.ds(0, _SR - 1)],
+                oval_ref.at[pl.ds(orow, _SR - 1)], sem_v)
+            dk.start(); dv.start(); dk.wait(); dv.wait()
+            cnt_ref[0] = st[1] * CH + st[0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "stream_cap", "interpret"))
+def expand_chunks_compact(
+    meta: jax.Array,
+    metaf: jax.Array,
+    b_col2d: jax.Array,
+    b_val2d: jax.Array,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    stream_cap: int,
+    interpret: bool = False,
+):
+    """Compacted-output expansion: like :func:`expand_chunks` but each
+    chunk's ``vlen`` valid products append to a staging buffer flushed by
+    row-granular DMAs, so the output stream has NO chunk padding — the sort
+    and compress stages then process exactly flops elements instead of
+    ~1.3-1.7x that (chunk padding ratio on R-MAT workloads).
+
+    ``stream_cap`` must be >= flops + (_SR+1)*128 and a multiple of 128;
+    entries past the true total stay at the initialization sentinel
+    (INT32_MAX / 0), supplied via input-output aliasing.  Returns (key, val,
+    total)."""
+    chunk_cap = meta.shape[0]
+    assert chunk_cap % _CPB == 0, chunk_cap
+    assert stream_cap % CH == 0, stream_cap
+    out_rows = stream_cap // CH
+    assert out_rows >= _SR, out_rows
+    grid = (chunk_cap // _CPB,)
+    key_init = jnp.full((out_rows, CH), _SENT, jnp.int32)
+    val_init = jnp.zeros((out_rows, CH), b_val2d.dtype)
+    key2d, val2d, cnt = pl.pallas_call(
+        _expand_compact_kernel(sr, out_rows, grid[0]),
+        out_shape=(
+            jax.ShapeDtypeStruct((out_rows, CH), jnp.int32),
+            jax.ShapeDtypeStruct((out_rows, CH), b_val2d.dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_CPB, 8), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CPB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_CPB, 2, CH), jnp.int32),
+            pltpu.VMEM((_CPB, 2, CH), b_val2d.dtype),
+            pltpu.VMEM((_SR, CH), jnp.int32),
+            pltpu.VMEM((_SR, CH), b_val2d.dtype),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((_CPB, 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, metaf, b_col2d, b_val2d, key_init, val_init)
+    return key2d.reshape(-1), val2d.reshape(-1), cnt[0]
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "interpret"))

@@ -117,3 +117,25 @@ def test_pallas_rowchunked_matches_dense():
                                  out_capacity=1 << 14, interpret=True)
     np.testing.assert_allclose(np.asarray(c.to_dense()), ad @ bd,
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("density", [0.02, 0.15])
+def test_pallas_compact_stream_matches_dense(density):
+    from combblas_tpu.ops.spgemm import stream_capacity
+
+    m, k, n = 96, 80, 64
+    ad = _rand(m, k, density, 21)
+    bd = _rand(k, n, density, 22)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    chunk_cap, out_cap = spgemm_pallas_bounds(a, b)
+    import jax.numpy as jnp
+
+    from combblas_tpu.ops.spgemm import spgemm_flops
+
+    scap = stream_capacity(int(spgemm_flops(a, b)))
+    c = spgemm_pallas(a, b, PLUS_TIMES, chunk_cap=chunk_cap,
+                      out_capacity=out_cap, stream_cap=scap, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), ad @ bd, rtol=1e-5, atol=1e-5
+    )
