@@ -175,6 +175,69 @@ def cmd_rcm(args):
           "..." if len(order) > 20 else "")
 
 
+def cmd_md(args):
+    from combblas_tpu.models.ordering import md_order
+
+    a = _load(args.matrix, symmetrize=True)
+    order = np.asarray(md_order(a))
+    print("md:", " ".join(map(str, order[: min(20, len(order))])),
+          "..." if len(order) > 20 else "")
+
+
+def cmd_fbfs(args):
+    """Filtered BFS with a value-window predicate (``FilteredBFS.cpp``) —
+    edge values outside [--begin, --end] are skipped during traversal."""
+    from combblas_tpu.models.filtered import bfs_filtered
+
+    a = _load(args.matrix, symmetrize=args.symmetrize)
+    lo, hi = args.begin, args.end
+    t0 = time.perf_counter()
+    parents, levels = bfs_filtered(a, args.root,
+                                   lambda v: (v >= lo) & (v <= hi))
+    lv = np.asarray(levels)
+    print(f"fbfs: visited {(lv >= 0).sum()} / {a.shape[0]} "
+          f"depth {lv.max()} in {time.perf_counter() - t0:.3f}s")
+
+
+def cmd_fmis(args):
+    """Filtered maximal independent set (``FilteredMIS.cpp``)."""
+    import jax
+
+    from combblas_tpu.models.filtered import mis_filtered
+
+    a = _load(args.matrix, symmetrize=True)
+    lo, hi = args.begin, args.end
+    t0 = time.perf_counter()
+    in_set = np.asarray(mis_filtered(a, jax.random.PRNGKey(args.seed),
+                                     lambda v: (v >= lo) & (v <= hi)))
+    print(f"fmis: |MIS| {int(in_set.sum())} / {a.shape[0]} "
+          f"in {time.perf_counter() - t0:.3f}s")
+
+
+def cmd_spgemm3d(args):
+    """3D split-layer SpGEMM driver (``3DSpGEMM/mpipspgemm.cpp`` /
+    ``Applications/SpGEMM3D.cpp``): A^2 on an (layers, r, c) mesh."""
+    import jax
+
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+    from combblas_tpu.parallel.summa3d import Dist3DSpMat, summa3d_spgemm
+
+    a = _load(args.matrix)
+    n_dev = len(jax.devices())
+    layers = args.layers
+    side = int((n_dev // layers) ** 0.5)
+    assert layers * side * side <= n_dev, (layers, n_dev)
+    grid = ProcGrid.make(side, side, layers=layers,
+                         devices=jax.devices()[: layers * side * side])
+    A = Dist3DSpMat.from_local(a, grid)
+    t0 = time.perf_counter()
+    c = summa3d_spgemm(A, A)
+    nnz = int(c.total_nnz())
+    print(f"spgemm3d[layers={layers}]: nnz {nnz} "
+          f"in {time.perf_counter() - t0:.3f}s")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="combblas_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
