@@ -35,7 +35,7 @@ from combblas_tpu.ops.spgemm import expand_products
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["summa_spgemm", "summa_flops", "summa_bounds"]
+__all__ = ["summa_spgemm", "summa_flops", "summa_bounds", "summa_spgemm_auto"]
 
 
 def _panel_a(ar, ac, av, an, kb: int, k_sent: int):
@@ -184,3 +184,35 @@ def summa_bounds(a: DistSpMat, b: DistSpMat) -> Tuple[int, int]:
     flops = int(jnp.max(summa_flops(a, b)))
     cap = round_capacity_frac(flops)
     return cap, cap
+
+
+def summa_spgemm_auto(
+    a: DistSpMat,
+    b: DistSpMat,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    nnz_estimate: int | None = None,
+) -> DistSpMat:
+    """Host-driven SUMMA with estimate-and-retry output sizing.
+
+    Mirrors :func:`combblas_tpu.ops.spgemm.spgemm_auto` for the distributed
+    path: the per-block output buffer starts from an estimate (caller's, or
+    half the panel flop bound) and the multiply retries with a doubled buffer
+    whenever ANY block saturates (block nnz == capacity means compression may
+    have truncated — the reference sizes exactly via its symbolic pass,
+    ``estimateNNZ_Hash`` ``mtSpGEMM.h:807``; saturate-detect-retry is the
+    static-shape equivalent)."""
+    from combblas_tpu.ops.spgemm import round_capacity_frac
+
+    flops_cap, oc = summa_bounds(a, b)
+    if nnz_estimate is not None:
+        out_cap = round_capacity_frac(max(int(nnz_estimate), 8))
+    else:
+        out_cap = round_capacity_frac(max(flops_cap // 2, 8))
+    out_cap = min(out_cap, oc)
+    while True:
+        c = summa_spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
+        full = int(jnp.max(c.nnz)) >= out_cap
+        if not full or out_cap >= oc:
+            return c
+        out_cap = min(round_capacity_frac(out_cap * 2), oc)
