@@ -155,12 +155,105 @@ def mcl_local(
     return labels, it
 
 
+def dist_mcl_prune(c, p: MCLParams, use_kselect2: bool = False):
+    """Distributed ``MCLPruneRecoverySelect`` (``ParFriends.h:186``), matching
+    the reference's single per-column threshold construction:
+
+    1. stats from the hard-threshold-pruned matrix (entries <= cutoff drop);
+    2. *recovery* columns (pruned nnz < recover_num, pruning actually removed
+       something, and pruned column sum < recover_pct) take threshold =
+       Kselect(A, recover_num);
+    3. remaining columns with pruned nnz > select take threshold =
+       Kselect(A, select);
+    4. recovery-after-select (``ParFriends.h:290-330``): selected columns
+       whose post-selection nnz < recover_num and sum < recover_pct fall back
+       to Kselect(A, recover_num);
+    5. one final PruneColumn(v < threshold) on the original matrix.
+
+    ``use_kselect2`` switches the per-column selection to the bisection
+    Kselect2 (``SpParMat.cpp:130``; safe on unpruned matrices)."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.parallel.elementwise import (
+        dist_kselect2_col,
+        dist_kselect_col,
+        dist_nnz_per_col,
+        dist_prune,
+        dist_prune_column,
+        dist_reduce,
+    )
+
+    ksel = dist_kselect2_col if use_kselect2 else dist_kselect_col
+    c1 = dist_prune(c, _below_or_equal_cutoff(p.cutoff))
+    nnz_unpruned = dist_nnz_per_col(c)
+    nnz_p = dist_nnz_per_col(c1)
+    sums = dist_reduce(c1, "col")
+    thresh = jnp.full_like(sums, p.cutoff)
+    recover = (
+        (nnz_p < p.recover_num) & (nnz_unpruned > nnz_p)
+        & (sums < p.recover_pct)
+    )
+    if p.recover_num > 0 and bool(jnp.any(recover)):
+        th_r = ksel(c, p.recover_num)
+        thresh = jnp.where(recover, th_r, thresh)
+    if p.select > 0:
+        sel = (~recover) & (nnz_p > p.select)
+        if bool(jnp.any(sel)):
+            th_s = ksel(c, p.select)
+            thresh = jnp.where(sel, th_s, thresh)
+            if p.recover_num > 0:
+                c_sel = dist_prune_column(c, thresh, _below_thresh)
+                nnz1 = dist_nnz_per_col(c_sel)
+                sums1 = dist_reduce(c_sel, "col")
+                resel = sel & (nnz1 < p.recover_num) & (sums1 < p.recover_pct)
+                if bool(jnp.any(resel)):
+                    th_rs = ksel(c, p.recover_num)
+                    thresh = jnp.where(resel, th_rs, thresh)
+    return dist_prune_column(c, thresh, _below_thresh)
+
+
+def dist_remove_isolated(a):
+    """``RemoveIsolated`` (``MCL.cpp:477``): drop empty columns/rows by
+    compacting the kept vertices to the front of the index space (one
+    owner-exchange permutation instead of the reference's SpRef).  Returns
+    (compacted matrix, keep_map host array with -1 for dropped, n_keep)."""
+    import numpy as np
+
+    from combblas_tpu.parallel.elementwise import dist_nnz_per_col
+    from combblas_tpu.parallel.indexing import dist_permute
+
+    n = a.gshape[1]
+    colnnz = np.asarray(dist_nnz_per_col(a))[:n]
+    keep = colnnz > 0
+    n_keep = int(keep.sum())
+    rank = np.cumsum(keep) - 1
+    vmap = np.where(keep, rank, -1).astype(np.int32)
+    return dist_permute(a, vmap, vmap), vmap, n_keep
+
+
+def dist_rand_permute(a, key):
+    """``RandPermute`` (``MCL.cpp:497``): symmetric random relabeling
+    A(p, p) — mesh-wide threefry RandPerm + one owner-exchange."""
+    import numpy as np
+
+    from combblas_tpu.parallel.indexing import dist_permute
+    from combblas_tpu.parallel.vector import dist_rand_perm
+
+    n = a.gshape[1]
+    perm = np.asarray(dist_rand_perm(key, n, a.grid))[:n]
+    return dist_permute(a, perm), perm
+
+
 def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
-             verbose: bool = False):
+             verbose: bool = False, preprocess: bool = False,
+             rng_key=None, use_kselect2: bool = False):
     """Distributed HipMCL (``MCL.cpp:515`` with ``MemEfficientSpGEMM`` at
-    ``:574``): the expansion runs as (optionally phased) SUMMA on the 2D mesh,
-    pruning/normalization as distributed column ops, convergence via the
-    distributed chaos metric, and Interpret as distributed FastSV.
+    ``:574``): the expansion runs as (optionally phased) SUMMA on the 2D mesh
+    with the prune/select/recover hook applied INSIDE each phase (the point of
+    phasing — ``ParFriends.h:698``), pruning/normalization as distributed
+    column ops, convergence via the distributed chaos metric, and Interpret as
+    distributed FastSV.  ``preprocess=True`` runs RemoveIsolated + RandPermute
+    (``MCL.cpp:477-497``) first and translates labels back.
 
     ``a``: DistSpMat on a square grid.  Returns (labels, iterations)."""
     import jax.numpy as jnp
@@ -171,9 +264,6 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
         dist_add,
         dist_apply,
         dist_dim_apply,
-        dist_kselect_col,
-        dist_prune,
-        dist_prune_column,
         dist_reduce,
         dist_transpose,
     )
@@ -181,6 +271,18 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
     from combblas_tpu.semiring import MAX_FIRST
 
     p = params or MCLParams()
+
+    vmap = None
+    n_orig = a.gshape[1]
+    if preprocess:
+        import numpy as np
+
+        a, vmap, n_keep = dist_remove_isolated(a)
+        a, perm = dist_rand_permute(
+            a, rng_key if rng_key is not None else jax.random.PRNGKey(17)
+        )
+        # composite vertex map: original -> permuted-compacted
+        vmap = np.where(vmap >= 0, perm[np.maximum(vmap, 0)], -1)
 
     def col_stochastic(m: DistSpMat) -> DistSpMat:
         colsum = dist_reduce(m, "col")
@@ -194,16 +296,15 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
         return jnp.max(cmax - css)
 
     def prune_hook(c: DistSpMat) -> DistSpMat:
-        c = dist_prune(c, _below_cutoff(p.cutoff))
-        th = dist_kselect_col(c, p.select)
-        # keep entries >= per-column k-th largest (select step); -inf keeps all
-        return dist_prune_column(c, th, _below_thresh)
+        return dist_mcl_prune(c, p, use_kselect2=use_kselect2)
 
     a = col_stochastic(a)
     it = 0
     for it in range(1, p.max_iters + 1):
-        a2 = mem_efficient_spgemm(a, a, phases=phases, phase_hook=None)
-        a2 = prune_hook(a2)
+        # per-phase pruning: each phase's column slab is pruned before the
+        # next phase runs, so peak memory is one pruned slab (the entire
+        # reason MemEfficientSpGEMM phases — ParFriends.h:698).
+        a2 = mem_efficient_spgemm(a, a, phases=phases, phase_hook=prune_hook)
         a2 = dist_apply(a2, _pow_closure(p.inflation))
         a2 = col_stochastic(a2)
         ch = float(dist_chaos(a2))
@@ -215,12 +316,31 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
             break
     sym = dist_add(a, dist_transpose(a))
     labels = fastsv_dist(sym)
+    if vmap is not None:
+        import numpy as np
+
+        lab = np.asarray(labels)
+        out = np.empty((n_orig,), lab.dtype)
+        kept = vmap >= 0
+        out[kept] = lab[vmap[kept]]
+        # isolated vertices are their own singleton clusters, labeled
+        # disjointly from the kept range
+        out[~kept] = a.gshape[1] + np.nonzero(~kept)[0]
+        return out, it
     return labels, it
 
 
 def _below_cutoff(cutoff: float):
     def f(v):
         return jnp.abs(v) < cutoff
+
+    return f
+
+
+def _below_or_equal_cutoff(cutoff: float):
+    # the reference's hard-threshold prune is less_equal (ParFriends.h:197)
+    def f(v):
+        return v <= cutoff
 
     return f
 

@@ -181,14 +181,34 @@ def spgemm(
 
 
 @jax.jit
-def spgemm_flops(a: SpCOO, b: SpCOO) -> jax.Array:
-    """Exact number of semiring multiplications for A·B (the reference's
-    ``EstimateFLOP``, ``ParFriends.h:356`` / ``mtSpGEMM.h:1058``)."""
+def _flops_partials(a: SpCOO, b: SpCOO):
+    """Per-group (lo, hi) limb partial sums of the per-nonzero product counts.
+
+    int32 alone wraps once total flops pass 2^31 (true from R-MAT scale ~18
+    up), and the TPU has no native int64 — so counts are split into 16-bit
+    limbs, summed per 2^14-element group (each partial provably < 2^31), and
+    the handful of partials are combined exactly on the host in int64."""
     k = a.shape[1]
     b_rp = b.row_ptr()
     acol = jnp.minimum(a.col, k)
     cnt = jnp.where(a.mask(), b_rp[acol + 1] - b_rp[acol], 0)
-    return jnp.sum(cnt)
+    g = 1 << 14
+    pad = (-cnt.shape[0]) % g
+    cnt = jnp.concatenate([cnt, jnp.zeros((pad,), cnt.dtype)]).reshape(-1, g)
+    lo = jnp.sum(cnt & 0xFFFF, axis=1)  # <= 2^14 * 2^16 = 2^30
+    hi = jnp.sum(cnt >> 16, axis=1)     # <= 2^14 * 2^15 = 2^29
+    return lo, hi
+
+
+def spgemm_flops(a: SpCOO, b: SpCOO) -> int:
+    """Exact number of semiring multiplications for A·B (the reference's
+    ``EstimateFLOP``, ``ParFriends.h:356`` / ``mtSpGEMM.h:1058``).  Host-side
+    exact int (immune to int32 wraparound at scale >= 18)."""
+    lo, hi = _flops_partials(a, b)
+    return int(
+        np.asarray(lo).astype(np.int64).sum()
+        + (np.asarray(hi).astype(np.int64).sum() << 16)
+    )
 
 
 def round_capacity_frac(n: int, frac: int = 8) -> int:
@@ -219,7 +239,9 @@ def _slab_bounds_host(a: SpCOO, b: SpCOO, num_slabs: int) -> Tuple[int, int]:
     a_rp = np.asarray(a.row_ptr())
     b_rp = np.asarray(b.row_ptr())
     acol = np.minimum(np.asarray(a.col), a.shape[1] - 1)
-    cnt = np.where(np.asarray(a.mask()), b_rp[acol + 1] - b_rp[acol], 0)
+    cnt = np.where(
+        np.asarray(a.mask()), b_rp[acol + 1] - b_rp[acol], 0
+    ).astype(np.int64)
     coffs = np.concatenate([[0], np.cumsum(cnt)])
     worst = 0
     for s in range(num_slabs):

@@ -42,6 +42,8 @@ __all__ = [
     "dist_prune_column",
     "dist_reduce",
     "dist_kselect_col",
+    "dist_kselect2_col",
+    "dist_kselect_col_checked",
     "dist_transpose",
     "dist_nnz_per_col",
 ]
@@ -292,6 +294,86 @@ def dist_kselect_col(a: DistSpMat, k: jax.Array) -> jax.Array:
         out_specs=P("c"),
         check_vma=False,
     )(a.row, a.col, a.val, a.nnz, k)
+
+
+@jax.jit
+def dist_kselect2_col(a: DistSpMat, k: jax.Array) -> jax.Array:
+    """Per-column k-th largest by iterative value-space bisection — the
+    Kselect2 counterpart (``SpParMat.cpp:130,309``: iterative median pruning
+    with TopKGather).  The reference narrows candidates by shipping medians;
+    on TPU the same narrowing runs as 32 rounds of bisection on the
+    order-preserving uint32 image of the values: each round counts, per
+    column, entries >= mid (one masked segment-sum + one psum along 'r') and
+    halves the feasible interval.  Memory is O(ncols) per device — unlike
+    Kselect1's candidate gather, this never materializes the column entries,
+    so it stays safe on unpruned matrices (the reference's reason for having
+    both).  k: scalar or col-space vector; -inf where a column has < k
+    entries (or k <= 0).  Output col-space layout, replicated over 'r'."""
+    mb, nb = block_dims(a.gshape, a.grid)
+    pc = a.grid.pc
+    k_len = pc * nb
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (k_len,))
+
+    def f(row, col, val, nnz, k_loc):
+        cap = col.reshape(-1).shape[0]
+        c = col.reshape(-1)
+        v = val.reshape(-1)
+        valid = jnp.arange(cap, dtype=jnp.int32) < nnz.reshape(())
+        cc = jnp.where(valid, c, nb)
+        # order-preserving uint32 image (floats: flip sign bit / complement)
+        b = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
+        u = jnp.where(
+            (b >> 31).astype(jnp.bool_), ~b, b | jnp.uint32(0x80000000)
+        )
+        k_blk = jax.lax.all_gather(k_loc, "r", tiled=True)  # (nb,)
+
+        def count_ge(thresh):
+            ge = valid & (u >= thresh[jnp.minimum(cc, nb - 1)])
+            cnt = jax.ops.segment_sum(
+                ge.astype(jnp.int32), cc, num_segments=nb + 1
+            )[:nb]
+            return jax.lax.psum(cnt, "r")
+
+        total = count_ge(jnp.zeros((nb,), jnp.uint32))
+        found = (total >= k_blk) & (k_blk > 0)
+
+        def body(_, lohi):
+            lo, hi = lohi  # invariant: feasible(lo), not feasible(hi + 1)
+            mid = lo + (hi - lo) // 2 + (hi - lo) % 2  # upper mid, uint32-safe
+            feas = count_ge(mid) >= k_blk
+            lo = jnp.where(feas, mid, lo)
+            hi = jnp.where(feas, hi, mid - 1)
+            return lo, hi
+
+        lo0 = jnp.zeros((nb,), jnp.uint32)
+        hi0 = jnp.full((nb,), 0xFFFFFFFF, jnp.uint32)
+        lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+        # invert the order-preserving map
+        top = (lo >> 31).astype(jnp.bool_)
+        bits = jnp.where(top, lo & jnp.uint32(0x7FFFFFFF), ~lo)
+        vals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return jnp.where(found, vals, -jnp.inf)
+
+    return shard_map(
+        f,
+        mesh=a.grid.mesh,
+        in_specs=(_SPEC, _SPEC, _SPEC, _NSPEC, P(("c", "r"))),
+        out_specs=P("c"),
+        check_vma=False,
+    )(a.row, a.col, a.val, a.nnz, k)
+
+
+def dist_kselect_col_checked(a: DistSpMat, k) -> jax.Array:
+    """Run Kselect1 (candidate gather) and Kselect2 (bisection) and assert
+    they agree — the reference's cross-validation wrappers
+    (``SpParMat.cpp:1120,1160``)."""
+    v1 = dist_kselect_col(a, k)
+    v2 = dist_kselect2_col(a, k)
+    a1, a2 = jnp.asarray(v1), jnp.asarray(v2)
+    ok = jnp.all((a1 == a2) | (jnp.isneginf(a1) & jnp.isneginf(a2)))
+    if not bool(ok):
+        raise AssertionError("Kselect1/Kselect2 disagree (KSELECTLIMITERROR)")
+    return v1
 
 
 @jax.jit
