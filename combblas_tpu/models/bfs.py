@@ -34,7 +34,7 @@ from combblas_tpu.parallel.dist import DistSpMat, row_vec_len
 from combblas_tpu.parallel.spmv import dist_spmsv_masked
 from combblas_tpu.semiring import MAX_SECOND
 
-__all__ = ["bfs_local", "bfs_dist", "bfs_dir_opt_local"]
+__all__ = ["bfs_local", "bfs_dist", "bfs_dir_opt_local", "bfs_dir_opt_dist"]
 
 
 class _BfsState(NamedTuple):
@@ -155,6 +155,42 @@ def bfs_dir_opt_local(a: SpCOO, root) -> Tuple[jax.Array, jax.Array]:
         return _advance(s, y, ym, n)
 
     out = jax.lax.while_loop(cond, body, _init_state(n, root))
+    return out.parents, out.levels
+
+
+@jax.jit
+def bfs_dir_opt_dist(a: DistSpMat, root) -> Tuple[jax.Array, jax.Array]:
+    """Distributed direction-optimizing BFS (``DirOptBFS.cpp:398`` +
+    ``BFSFriends.h:458``): top-down levels run the masked SpMSpV fan-out/
+    fan-in; once the frontier passes n/BETA the level switches to the pull
+    step (:func:`combblas_tpu.parallel.spmv.dist_bfs_pull_masked`), which
+    moves only two bitmaps across the mesh — the reference's
+    ``BitMapCarousel`` word-bitmap saving as two bool all_gathers.  Both
+    directions share the state fold, so levels/parents match ``bfs_dist``
+    exactly."""
+    from combblas_tpu.parallel.spmv import dist_bfs_pull_masked
+
+    assert a.gshape[0] == a.gshape[1], "BFS needs a square adjacency matrix"
+    n_pad = row_vec_len(a.gshape, a.grid)
+    BETA = 8
+
+    def cond(s: _BfsState):
+        return s.nfront > 0
+
+    def push(s: _BfsState):
+        return dist_spmsv_masked(
+            a, s.front_val, s.front_mask, MAX_SECOND, transpose=True
+        )
+
+    def pull(s: _BfsState):
+        y, ym = dist_bfs_pull_masked(a, s.front_mask, s.parents < 0)
+        return y.astype(s.front_val.dtype), ym
+
+    def body(s: _BfsState):
+        y, ym = jax.lax.cond(s.nfront * BETA > n_pad, pull, push, s)
+        return _advance(s, y, ym, n_pad)
+
+    out = jax.lax.while_loop(cond, body, _init_state(n_pad, root))
     return out.parents, out.levels
 
 

@@ -123,12 +123,12 @@ def _alt_bfs(a: SpCOO, mate_row, mate_col):
     return parent_col, free_cols
 
 
-def bp_maximum_matching(a: SpCOO) -> Tuple[jax.Array, jax.Array]:
-    """Maximum-cardinality matching: greedy init + augmenting phases
-    (``BPMaximumMatching.cpp:207`` pattern).  Each phase runs one jitted
-    alternating BFS and augments a vertex-disjoint set of the discovered
-    paths."""
-    mate_row, mate_col = bp_maximal_matching(a)
+def bp_maximum_matching(a: SpCOO, init=None) -> Tuple[jax.Array, jax.Array]:
+    """Maximum-cardinality matching: greedy init (or caller-provided
+    matching) + augmenting phases (``BPMaximumMatching.cpp:207`` pattern).
+    Each phase runs one jitted alternating BFS and augments a vertex-disjoint
+    set of the discovered paths."""
+    mate_row, mate_col = bp_maximal_matching(a) if init is None else init
     m, n = a.shape
     mate_row = np.asarray(mate_row).copy()
     mate_col = np.asarray(mate_col).copy()
@@ -225,26 +225,13 @@ def awpm(a: SpCOO, complete: bool = True):
         if not bool(progressed):
             break
     if complete:
-        import numpy as _np
-
-        mr = _np.asarray(mate_row).copy()
-        mc = _np.asarray(mate_col).copy()
-        # residual graph on unmatched vertices; reuse maximum matching
-        nnz = int(a.nnz)
-        rr = _np.asarray(a.row)[:nnz]
-        cc = _np.asarray(a.col)[:nnz]
-        vv = _np.asarray(a.val)[:nnz]
-        keep = (mr[rr] < 0) & (mc[cc] < 0)
-        if keep.any():
-            sub = SpCOO.from_arrays(rr[keep], cc[keep], vv[keep], (m, n))
-            sr_, sc_ = bp_maximum_matching(sub)
-            sr_, sc_ = _np.asarray(sr_), _np.asarray(sc_)
-            upd = sr_ >= 0
-            mr[upd] = sr_[upd]
-            for cidx, ridx in enumerate(sc_):
-                if ridx >= 0:
-                    mc[cidx] = ridx
-        mate_row, mate_col = jnp.asarray(mr), jnp.asarray(mc)
+        # cardinality completion: augment on the FULL graph seeded with the
+        # weighted matching — alternating-path augmentation keeps every
+        # matched vertex matched, so weight survives while cardinality
+        # reaches maximum (ApproxWeightPerfectMatching.h:1144 composition).
+        mate_row, mate_col = bp_maximum_matching(
+            a, init=(mate_row, mate_col)
+        )
     return mate_row, mate_col
 
 

@@ -33,7 +33,7 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.semiring import MAX_FIRST, PLUS_TIMES, Semiring
 
-__all__ = ["dist_spmv", "dist_spmsv_masked"]
+__all__ = ["dist_spmv", "dist_spmsv_masked", "dist_bfs_pull_masked"]
 
 
 def _axis_reduce(x, axis: str, sr: Semiring):
@@ -180,3 +180,55 @@ def dist_spmsv_masked(
         check_vma=False,
     )(a.row, a.col, a.val, a.nnz, xv, xm)
     return y, ym
+
+
+@jax.jit
+def dist_bfs_pull_masked(a: DistSpMat, front_mask: jax.Array,
+                         unvisited: jax.Array):
+    """Distributed bottom-up (pull) BFS step — the ``BottomUpStep`` /
+    ``BitMapCarousel`` counterpart (``BFSFriends.h:458``,
+    ``BitMapCarousel.h:141``).
+
+    Every *unvisited* vertex v pulls the max frontier in-neighbor over edges
+    (u, v).  Only two BITMAPS travel the mesh (frontier along 'c', unvisited
+    along 'r') — the same word-granularity saving the reference's carousel
+    ring buys, expressed as two bool all_gathers + one pmax reduce-scatter.
+    Returns (parent_candidates + 1, hit_mask) in the column-space layout
+    (same as ``dist_spmsv_masked(transpose=True)``).
+    """
+    grid = a.grid
+    mb, nb = block_dims(a.gshape, grid)
+    pr, pc = grid.pr, grid.pc
+    spec = P("r", "c", None)
+    nspec = P("r", "c")
+    fm = jnp.zeros((pr * mb,), jnp.bool_).at[: front_mask.shape[0]].set(
+        front_mask[: pr * mb]
+    )
+    uv = jnp.zeros((pc * nb,), jnp.bool_).at[: unvisited.shape[0]].set(
+        unvisited[: pc * nb]
+    )
+
+    def f(row, col, val, nnz, fm_loc, uv_loc):
+        cap = row.shape[-1]
+        r = row.reshape(-1)
+        c = col.reshape(-1)
+        valid = jnp.arange(cap, dtype=jnp.int32) < nnz.reshape(())
+        fm_blk = jax.lax.all_gather(fm_loc, "c", tiled=True)  # (mb,) bools
+        uv_blk = jax.lax.all_gather(uv_loc, "r", tiled=True)  # (nb,) bools
+        rr = jnp.minimum(r, mb - 1)
+        cc = jnp.minimum(c, nb - 1)
+        active = valid & fm_blk[rr] & uv_blk[cc]
+        bi = jax.lax.axis_index("r").astype(jnp.int32)
+        cand = jnp.where(active, bi * mb + rr + 1, 0)
+        seg = jnp.where(active, cc, nb)
+        y_part = jax.ops.segment_max(cand, seg, num_segments=nb)
+        y_loc = _axis_reduce_scatter(y_part, "r", MAX_FIRST)
+        return y_loc, y_loc > 0
+
+    return shard_map(
+        f,
+        mesh=grid.mesh,
+        in_specs=(spec, spec, spec, nspec, P(("r", "c")), P(("c", "r"))),
+        out_specs=(P(("c", "r")), P(("c", "r"))),
+        check_vma=False,
+    )(a.row, a.col, a.val, a.nnz, fm, uv)

@@ -151,3 +151,36 @@ def test_bfs_dir_opt_matches_top_down():
     p2, l2 = bfs_dir_opt_local(SpCOO.from_dense(d), 0)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert validate_bfs(d, 0, p2, l2)
+
+
+def test_bfs_dir_opt_dist_matches_dist():
+    """Distributed direction-optimizing BFS (DirOptBFS.cpp:398 +
+    BFSFriends.h:458): levels must equal plain dist BFS; dense-enough graphs
+    force the pull branch."""
+    from combblas_tpu.models.bfs import bfs_dir_opt_dist
+
+    rng = np.random.default_rng(21)
+    n = 48
+    d = rand_sparse(n, n, 0.15, seed=22)
+    d = np.maximum(d, d.T)  # symmetric: frontier grows fast -> pull kicks in
+    a = SpCOO.from_dense(d)
+    g = ProcGrid.make()
+    A = DistSpMat.from_local(a, g)
+    p1, l1 = bfs_dist(A, 0)
+    p2, l2 = bfs_dir_opt_dist(A, 0)
+    np.testing.assert_array_equal(np.asarray(l1)[:n], np.asarray(l2)[:n])
+    assert validate_bfs(d, 0, np.asarray(p2)[:n], np.asarray(l2)[:n])
+    # and against the host reference levels
+    np.testing.assert_array_equal(np.asarray(l2)[:n], bfs_levels_reference(d, 0))
+
+
+def test_bfs_dir_opt_dist_ring():
+    """Sparse ring keeps the frontier tiny -> exercises the push branch under
+    the same driver."""
+    from combblas_tpu.models.bfs import bfs_dir_opt_dist
+
+    n = 32
+    d = ring_graph(n)
+    A = DistSpMat.from_local(SpCOO.from_dense(d), ProcGrid.make())
+    p, l = bfs_dir_opt_dist(A, 3)
+    np.testing.assert_array_equal(np.asarray(l)[:n], bfs_levels_reference(d, 3))
