@@ -23,7 +23,8 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.ops.reduce import nnz_per
 from combblas_tpu.models.bfs import bfs_local
 
-__all__ = ["pseudo_peripheral_vertex", "rcm_order", "md_order"]
+__all__ = ["pseudo_peripheral_vertex", "rcm_order", "rcm_order_dist",
+           "md_order"]
 
 
 def pseudo_peripheral_vertex(a: SpCOO, start: int = 0, max_rounds: int = 8):
@@ -72,6 +73,113 @@ def rcm_order(a: SpCOO, start: int | None = None) -> jax.Array:
         start = None
     order = np.concatenate(pieces)
     return jnp.asarray(order[::-1].copy())  # reverse (the R in RCM)
+
+
+def rcm_order_dist(a, start: int | None = None) -> np.ndarray:
+    """Distributed RCM on the 2D grid — the reference's own formulation
+    (``Applications/Ordering/RCM.cpp:332,361``): pseudo-peripheral vertex by
+    repeated distributed BFS, then level-by-level Cuthill-McKee labeling
+    where each level's "parent order" comes from one ``SpMV<SelectMinSR>``
+    (here :func:`dist_spmsv_masked` with MIN_SECOND) and the within-level
+    rank from TWO mesh-wide stable sorts (by (degree, id), then by parent
+    order with position tiebreak) — no per-component host walk.
+
+    ``a``: DistSpMat (square, symmetric structure).  Returns the RCM order as
+    a host int array (order[i] = i-th vertex)."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.models.bfs import bfs_dist
+    from combblas_tpu.parallel.dist import DistSpMat, row_vec_len
+    from combblas_tpu.parallel.elementwise import dist_reduce
+    from combblas_tpu.parallel.spmv import dist_spmsv_masked
+    from combblas_tpu.parallel.vector import (
+        dist_apply_perm,
+        dist_route,
+        dist_sort,
+    )
+    from combblas_tpu.semiring import MIN_SECOND, PLUS_TIMES
+
+    n = a.gshape[0]
+    n_pad = row_vec_len(a.gshape, a.grid)
+    grid = a.grid
+    deg = dist_reduce(a, "row", PLUS_TIMES, premap=lambda v: 1.0 + 0.0 * v)
+    degh = np.asarray(deg)[:n].astype(np.int64)
+    visited = np.zeros(n, bool)
+    label = np.full(n_pad, -1, np.int64)
+    counter = 0
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    while not visited.all():
+        if start is None:
+            cand = np.nonzero(~visited)[0]
+            s = int(cand[np.argmin(degh[cand])])
+        else:
+            s, start = start, None
+        # pseudo-peripheral: repeated distributed BFS
+        last_ecc = -1
+        for _ in range(8):
+            _, levels = bfs_dist(a, s)
+            lv = np.asarray(levels)[:n]
+            ecc = int(lv.max())
+            if ecc <= last_ecc:
+                break
+            last_ecc = ecc
+            far = np.nonzero(lv == ecc)[0]
+            s = int(far[np.argmin(degh[far])])
+        _, levels = bfs_dist(a, s)
+        lvh = np.asarray(levels)[:n]
+        comp = lvh >= 0
+        label[s] = counter
+        counter += 1
+        lab_dev = jnp.asarray(
+            np.concatenate([label[:n], np.full(n_pad - n, -1)]).astype(
+                np.int32
+            )
+        )
+        lv_dev = levels
+        maxlev = int(lvh.max())
+        for l in range(1, maxlev + 1):
+            # parent order = min previous-level label among neighbors
+            prev_mask = (lv_dev == l - 1) & (lab_dev >= 0)
+            pord, _ = dist_spmsv_masked(
+                a, lab_dev.astype(jnp.float32) + 1.0, prev_mask,
+                MIN_SECOND, transpose=True,
+            )
+            members = lv_dev == l
+            nmem = int(jnp.sum(members))
+            # rank 1: stable by (degree, id) -> permutation r1
+            degkey = jnp.where(members, deg.astype(jnp.float32), jnp.inf)
+            _, vid1 = dist_sort(degkey, grid, ids)
+            # arrange parent-order values in r1 order (position = r1 rank),
+            # then sort by parent order with position tiebreak = stable
+            rank1 = jnp.zeros((n_pad,), jnp.int32)
+            rank1, _ = dist_route(
+                vid1, ids, vid1 < n_pad, rank1, grid, combine="set"
+            )  # rank1[vertex] = its (deg,id) rank
+            pkey = jnp.where(members, pord, jnp.inf)
+            pkey_arranged = dist_apply_perm(
+                jnp.where(jnp.isfinite(pkey), pkey, jnp.inf), rank1, grid
+            )
+            vid_arranged = dist_apply_perm(
+                jnp.where(members, ids, n_pad), rank1, grid
+            )
+            # out-of-component slots got 0.0 from the perm scatter: re-mask
+            pkey_arranged = jnp.where(vid_arranged < n_pad, pkey_arranged,
+                                      jnp.inf)
+            _, vid2 = dist_sort(pkey_arranged, grid, vid_arranged)
+            # final label: counter + position in sorted order
+            newlab = jnp.zeros((n_pad,), jnp.int32)
+            pos = jnp.arange(n_pad, dtype=jnp.int32) + counter
+            newlab, hit = dist_route(
+                vid2, pos, (vid2 < n_pad) & (ids < nmem),
+                newlab, grid, combine="set",
+            )
+            lab_dev = jnp.where(hit, newlab, lab_dev)
+            counter += nmem
+        lab_h = np.asarray(lab_dev)[:n]
+        label[:n] = np.where(comp, lab_h, label[:n])
+        visited |= comp
+    order = np.argsort(label[:n])
+    return order[::-1].copy()  # reverse (the R in RCM)
 
 
 def md_order(a: SpCOO) -> jax.Array:

@@ -522,92 +522,174 @@ def spgemm_pallas(
     )
 
 
+@jax.jit
+def _row_flops_cum_f32(a: SpCOO, b: SpCOO):
+    """(m,) float32 inclusive cumsum of per-row product counts — the balance
+    curve for equal-flops slab boundaries.  f32 is approximate above 2^24 but
+    boundaries only need balance, not exactness (exact per-slab stats are
+    recomputed afterwards, guarded)."""
+    m, k = a.shape
+    b_rp = b.row_ptr()
+    acol = jnp.minimum(a.col, k - 1)
+    cnt = jnp.where(a.mask(), b_rp[acol + 1] - b_rp[acol], 0)
+    rowfl = jax.ops.segment_sum(
+        cnt.astype(jnp.float32),
+        jnp.where(a.mask(), a.row, m),
+        num_segments=m + 1,
+    )[:m]
+    return jnp.cumsum(rowfl)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs",))
+def _equal_flops_bounds(a: SpCOO, b: SpCOO, *, num_slabs: int):
+    """Equal-flops row boundaries (num_slabs+1,) via the f32 balance curve."""
+    m = a.shape[0]
+    cum = _row_flops_cum_f32(a, b)
+    total = cum[-1]
+    tgt = (jnp.arange(1, num_slabs, dtype=jnp.float32) * total) / num_slabs
+    mid = jnp.searchsorted(cum, tgt).astype(jnp.int32) + 1
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.minimum(mid, m),
+         jnp.full((1,), m, jnp.int32)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_slabs",))
+def _slab_stats(a: SpCOO, b: SpCOO, bounds, *, num_slabs: int):
+    """Exact per-slab (nnz, chunks_i32, flops_i32, flops_f32 guard) for given
+    row boundaries.  The f32 copies detect int32 wraparound (a slab whose
+    true flops exceed ~2^30 is unusable and must be split further)."""
+    from combblas_tpu.ops.pallas.expand_kernel import CH
+
+    m, k = a.shape
+    a_rp = a.row_ptr()
+    b_rp = b.row_ptr()
+    acol = jnp.minimum(a.col, k - 1)
+    valid = a.mask()
+    cnt = jnp.where(valid, b_rp[acol + 1] - b_rp[acol], 0)
+    nch = jnp.where(valid, -(-cnt // CH), 0)
+    sid = jnp.clip(
+        jnp.searchsorted(bounds, jnp.minimum(a.row, m), side="right") - 1,
+        0, num_slabs,
+    ).astype(jnp.int32)
+    sid = jnp.where(valid, sid, num_slabs)
+    nnz_s = jax.ops.segment_sum(valid.astype(jnp.int32), sid,
+                                num_segments=num_slabs + 1)[:-1]
+    fl_s = jax.ops.segment_sum(cnt, sid, num_segments=num_slabs + 1)[:-1]
+    fl_f = jax.ops.segment_sum(cnt.astype(jnp.float32), sid,
+                               num_segments=num_slabs + 1)[:-1]
+    ch_s = jax.ops.segment_sum(nch, sid, num_segments=num_slabs + 1)[:-1]
+    return nnz_s, ch_s, fl_s, fl_f
+
+
+def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int):
+    """Host-side slab plan: equal-flops boundaries (split further to respect
+    the packed-key row-span limit and int32-safe per-slab flops) + uniform
+    static capacities.  Returns (bounds np.int32 (S+1,), span_cap,
+    slab_nnz_cap, chunk_cap, worst_fl)."""
+    m, k = a.shape
+    n = b.shape[1]
+    span_max = max((1 << 31) // (n + 1) - 2, 1)
+    num_slabs = max(1, min(num_slabs, m))
+    for _ in range(8):  # replan if a slab still overflows int32
+        bounds = np.asarray(_equal_flops_bounds(a, b, num_slabs=num_slabs))
+        # split any slab whose row span exceeds the packed-key limit
+        out = [0]
+        for s in range(len(bounds) - 1):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            while hi - out[-1] > span_max:
+                out.append(out[-1] + span_max)
+            if hi > out[-1]:
+                out.append(hi)
+        bounds = np.asarray(out, np.int32)
+        S = len(bounds) - 1
+        nnz_s, ch_s, fl_s, fl_f = _slab_stats(
+            a, b, jnp.asarray(bounds), num_slabs=S
+        )
+        fl_f = np.asarray(fl_f)
+        if float(fl_f.max(initial=0.0)) < float(1 << 30):
+            break
+        num_slabs = max(num_slabs * 2, S + 1)
+    worst_nnz = int(np.asarray(nnz_s).max(initial=1))
+    worst_ch = int(np.asarray(ch_s).max(initial=1))
+    worst_fl = int(np.asarray(fl_s).max(initial=1))
+    span = int((bounds[1:] - bounds[:-1]).max(initial=1))
+    span_cap = min(round_capacity_frac(max(span, 8)), m, span_max)
+    span_cap = max(span_cap, span)  # never below the actual max span
+    slab_nnz_cap = round_capacity_frac(max(worst_nnz, 8))
+    chunk_cap = max(-(-round_capacity_frac(max(worst_ch, 256)) // 256) * 256,
+                    256)
+    return bounds, span_cap, slab_nnz_cap, chunk_cap, max(worst_fl, 1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "slab_rows", "slab_nnz_cap", "chunk_cap",
-                     "slab_out_cap", "stream_cap", "interpret"),
+    static_argnames=("sr", "span_cap", "slab_nnz_cap", "chunk_cap",
+                     "slab_out_cap", "stream_cap", "out_capacity",
+                     "interpret"),
+    donate_argnums=(4, 5, 6),  # dst buffers update in place across slabs
 )
-def _pallas_slab(
+def _pallas_slab_step(
     a: SpCOO,
     b: SpCOO,
+    bounds,
     s,
+    dst_row,
+    dst_col,
+    dst_val,
+    total,
+    truncated,
     sr: Semiring,
     *,
-    slab_rows: int,
+    span_cap: int,
     slab_nnz_cap: int,
     chunk_cap: int,
     slab_out_cap: int,
-    stream_cap: int | None = None,
+    stream_cap: int,
+    out_capacity: int,
     interpret: bool = False,
 ):
-    """One row slab of :func:`spgemm_pallas_rowchunked`: extract A's nnz
-    window for rows [s*slab_rows, (s+1)*slab_rows), rebase rows slab-local
-    (packed keys must fit int31 per slab, not per matrix), and run the Pallas
-    expand+sort+compress pipeline."""
+    """One slab: extract A's nnz window for rows [bounds[s], bounds[s+1]),
+    rebase rows slab-local (packed keys must fit int31 per slab), run the
+    Pallas expand+sort+compress pipeline, and append the compacted result at
+    the running output offset with ONE contiguous dynamic_update_slice.
+
+    The append writes the slab's full (sentinel-suffixed) buffer; the suffix
+    is overwritten by the next slab's append, and the final suffix is already
+    sentinel data — so assembly is a bandwidth-speed copy instead of the
+    scatter that used to cost as much as the whole pipeline (XLA scatter runs
+    ~200M el/s; dynamic_update_slice streams at HBM speed)."""
     m, k = a.shape
     n = b.shape[1]
     a_rp = a.row_ptr()
-    lo = a_rp[jnp.minimum(s * slab_rows, m)]
-    hi = a_rp[jnp.minimum((s + 1) * slab_rows, m)]
+    row_lo = bounds[s]
+    row_hi = bounds[s + 1]
+    lo = a_rp[row_lo]
+    hi = a_rp[row_hi]
     t = jnp.arange(slab_nnz_cap, dtype=jnp.int32)
     src = jnp.minimum(lo + t, a.capacity - 1)
     sel = t < (hi - lo)
-    row0 = s * slab_rows
     sub = SpCOO(
-        row=jnp.where(sel, a.row[src] - row0, slab_rows),
+        row=jnp.where(sel, jnp.minimum(a.row[src] - row_lo, span_cap),
+                      span_cap),
         col=jnp.where(sel, a.col[src], k),
         val=jnp.where(sel, a.val[src], 0),
         nnz=(hi - lo).astype(jnp.int32),
-        shape=(slab_rows, k),
+        shape=(span_cap, k),
     )
     c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
                       out_capacity=slab_out_cap, stream_cap=stream_cap,
                       interpret=interpret)
-    # back to global rows (padding stays at the slab sentinel -> clamp to m)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
-    grow = jnp.where(live, c.row + row0, m)
-    return grow, c.col, c.val, c.nnz
-
-
-@functools.partial(jax.jit, static_argnames=("num_slabs", "slab_rows"))
-def _slab_plan_device(a: SpCOO, b: SpCOO, *, num_slabs: int, slab_rows: int):
-    """Per-slab worst-case (nnz, chunks, flops) computed ON DEVICE — pulling
-    nnz-sized arrays to host costs tens of seconds through the tunnel, three
-    scalars cost one round-trip."""
-    from combblas_tpu.ops.pallas.expand_kernel import CH
-
-    m = a.shape[0]
-    a_rp = a.row_ptr()
-    b_rp = b.row_ptr()
-    acol = jnp.minimum(a.col, a.shape[1] - 1)
-    valid = a.mask()
-    cnt = jnp.where(valid, b_rp[acol + 1] - b_rp[acol], 0)
-    nch = jnp.where(valid, -(-cnt // CH), 0)
-    coffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
-    choffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nch)])
-    bounds = jnp.minimum(
-        jnp.arange(num_slabs + 1, dtype=jnp.int32) * slab_rows, m)
-    edges = a_rp[bounds]
-    worst_nnz = jnp.max(edges[1:] - edges[:-1])
-    worst_ch = jnp.max(choffs[edges[1:]] - choffs[edges[:-1]])
-    worst_fl = jnp.max(coffs[edges[1:]] - coffs[edges[:-1]])
-    return worst_nnz, worst_ch, worst_fl
-
-
-def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int):
-    """Host-side uniform capacities for the slab loop: (num_slabs, slab_rows,
-    slab_nnz_cap, chunk_cap, max_slab_flops)."""
-    m = a.shape[0]
-    num_slabs = max(1, min(num_slabs, m))
-    slab_rows = -(-m // num_slabs)
-    num_slabs = -(-m // slab_rows)
-    wn, wc, wf = _slab_plan_device(a, b, num_slabs=num_slabs,
-                                   slab_rows=slab_rows)
-    worst_nnz, worst_ch, worst_fl = int(wn), int(wc), int(wf)
-    slab_nnz_cap = round_capacity_frac(max(worst_nnz, 8))
-    chunk_cap = max(-(-round_capacity_frac(max(worst_ch, 256)) // 256) * 256,
-                    256)
-    return num_slabs, slab_rows, slab_nnz_cap, chunk_cap, max(worst_fl, 1)
+    grow = jnp.where(live, c.row + row_lo, m)
+    gcol = jnp.where(live, c.col, n)
+    gval = jnp.where(live, c.val, 0)
+    start = jnp.minimum(total, out_capacity)
+    dst_row = jax.lax.dynamic_update_slice(dst_row, grow, (start,))
+    dst_col = jax.lax.dynamic_update_slice(dst_col, gcol, (start,))
+    dst_val = jax.lax.dynamic_update_slice(dst_val, gval, (start,))
+    return (dst_row, dst_col, dst_val, total + c.nnz,
+            truncated | (c.nnz >= slab_out_cap))
 
 
 def spgemm_pallas_rowchunked(
@@ -619,65 +701,51 @@ def spgemm_pallas_rowchunked(
     out_capacity: int,
     interpret: bool = False,
 ) -> SpCOO:
-    """Memory-bounded Pallas SpGEMM over disjoint row slabs of A (host-driven
-    slab loop; each slab runs the kernel pipeline).  Slabs emit disjoint,
-    already-sorted global row ranges, so assembly is one sentinel-dropping
-    scatter (same property as :func:`spgemm_rowchunked`)."""
+    """Memory-bounded Pallas SpGEMM over disjoint row slabs of A.
+
+    Slabs are EQUAL-FLOPS row ranges (R-MAT skew makes uniform row ranges pad
+    every slab's buffers to the heaviest slab — the balance curve fixes
+    that), split further to respect the packed-key span limit.  All slabs run
+    through ONE jitted step (boundaries are a traced array), so slab count
+    does not multiply compile time.  Assembly is contiguous appends (see
+    :func:`_pallas_slab_step`)."""
     m, k = a.shape
     n = b.shape[1]
-    num_slabs, slab_rows, slab_nnz_cap, chunk_cap, worst_fl = \
+    bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
         _pallas_slab_plan(a, b, num_slabs)
-    assert (slab_rows + 1) * (n + 1) < (1 << 31), (slab_rows, n)
-    # slab output ~ its fair share of the caller's estimate (2x skew slack);
-    # a truncated slab saturates the reported nnz so spgemm_auto retries
-    # with a bigger budget
+    num_slabs = len(bounds) - 1
+    assert (span_cap + 1) * (n + 1) < (1 << 31), (span_cap, n)
     slab_out_cap = max(
         round_capacity_frac(
             min(worst_fl, max(2 * out_capacity // num_slabs, 2048))
         ),
         2048,
     )
+    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
     slab_stream_cap = stream_capacity(worst_fl)
-    out = (
-        jnp.full((out_capacity,), m, jnp.int32),
-        jnp.full((out_capacity,), n, jnp.int32),
-        jnp.zeros((out_capacity,), a.val.dtype),
-        jnp.asarray(0, jnp.int32),   # running nnz
-        jnp.asarray(False),          # any slab truncated
+    # slack: the last slab's sentinel suffix lands beyond the live region
+    cap_slack = out_capacity + slab_out_cap
+    state = (
+        jnp.full((cap_slack,), m, jnp.int32),
+        jnp.full((cap_slack,), n, jnp.int32),
+        jnp.zeros((cap_slack,), a.val.dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
     )
+    bounds_dev = jnp.asarray(bounds)
     for s in range(num_slabs):
-        part = _pallas_slab(
-            a, b, jnp.asarray(s, jnp.int32), sr,
-            slab_rows=slab_rows, slab_nnz_cap=slab_nnz_cap,
+        state = _pallas_slab_step(
+            a, b, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
-            stream_cap=slab_stream_cap, interpret=interpret,
+            stream_cap=slab_stream_cap, out_capacity=out_capacity,
+            interpret=interpret,
         )
-        out = _append_slab(out, part, slab_out_cap=slab_out_cap,
-                           out_capacity=out_capacity)
-    row, col, val, total, truncated = out
+    row, col, val, total, truncated = state
     total = jnp.minimum(jnp.where(truncated, out_capacity, total),
                         out_capacity)
     return SpCOO(row=row, col=col, val=val, nnz=total.astype(jnp.int32),
                  shape=(m, n))
-
-
-@functools.partial(jax.jit, static_argnames=("slab_out_cap", "out_capacity"))
-def _append_slab(out, part, *, slab_out_cap, out_capacity):
-    """Scatter one slab's compacted entries at the running output offset."""
-    row, col, val, total, truncated = out
-    grow, gcol, gval, nnz = part
-    pos = jnp.arange(slab_out_cap, dtype=jnp.int32)
-    dest = jnp.where(pos < nnz, total + pos, out_capacity)
-    return (
-        row.at[dest].set(grow[:slab_out_cap], mode="drop",
-                         indices_are_sorted=True),
-        col.at[dest].set(gcol[:slab_out_cap], mode="drop",
-                         indices_are_sorted=True),
-        val.at[dest].set(gval[:slab_out_cap], mode="drop",
-                         indices_are_sorted=True),
-        total + nnz,
-        truncated | (nnz >= slab_out_cap),
-    )
 
 
 def _pallas_backend_ok(a: SpCOO, b: SpCOO) -> bool:

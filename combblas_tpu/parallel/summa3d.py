@@ -11,11 +11,12 @@ runs the all-gather SUMMA locally (collectives stay inside the layer — that is
 the communication-avoiding point: row/col panel traffic shrinks by l while a
 single fiber reduction is added), then partial C blocks are reduced along 'l'.
 
-The fiber reduction here is an all_gather('l') + column-range mask + merge,
-landing each layer the column slice of C it owns (the reference's
-``CalculateColSplitDistributionOfLayer`` split).  An alltoall formulation
-(exactly ``Reductions.h:36``) sends 1/l the bytes but needs per-range padded
-chunks; planned optimization — the gather variant is correct and simple.
+The fiber reduction is ONE all_to_all along 'l' over per-layer column ranges
+(exactly ``Reductions.h:36``'s alltoall + merge): each layer groups its
+partial C entries by destination column range (one local sort), exchanges
+balanced-capacity chunks, and merges what it receives — 1/l the bytes of an
+all_gather formulation.  Overfull chunks saturate the output nnz (the
+caller's retry-with-bigger-buffers signal).
 """
 
 from __future__ import annotations
@@ -189,9 +190,9 @@ def _pad_np(x, cap, fill):
 
 def _summa3d_local(
     ar, ac, av, an, br, bc, bv, bn,
-    *, sr, flops_cap, out_capacity, mb, nb, kb_a, kb_b, nlayers,
+    *, sr, flops_cap, out_capacity, fiber_cap, mb, nb, kb_a, kb_b, nlayers,
 ):
-    """Per-device body: layer-local SUMMA + fiber all-gather merge."""
+    """Per-device body: layer-local SUMMA + fiber all_to_all reduction."""
     # layer-local panels (collectives on 'r'/'c' stay inside the layer)
     ar_g = jax.lax.all_gather(ar.reshape(-1), "c")
     ac_g = jax.lax.all_gather(ac.reshape(-1), "c")
@@ -211,30 +212,53 @@ def _summa3d_local(
     )
     part = sort_compress(i, j, v, total, (mb, nb), sr=sr,
                          out_capacity=out_capacity)
-    # ---- fiber reduction along 'l' (Reductions.h:36) ----
-    pr_row = jax.lax.all_gather(part.row, "l")  # (l, out_cap)
-    pr_col = jax.lax.all_gather(part.col, "l")
-    pr_val = jax.lax.all_gather(part.val, "l")
-    pr_nnz = jax.lax.all_gather(part.nnz, "l")
+    # ---- fiber reduction along 'l' via all_to_all (Reductions.h:36) ----
+    # Each layer owns the column range [t*nb/l, (t+1)*nb/l) of every block
+    # (CalculateColSplitDistributionOfLayer); partial entries are grouped by
+    # destination layer and exchanged with ONE all_to_all — 1/l the bytes of
+    # the previous all_gather formulation.  Per-pair capacity ``fiber_cap``
+    # carries 2x-balanced slack; an overfull range saturates the output nnz
+    # (the caller's retry signal) instead of silently dropping.
     nb_split = nb // nlayers
-    t = jax.lax.axis_index("l")
-    lo, hi = t * nb_split, (t + 1) * nb_split
-    valid = (
-        (jnp.arange(out_capacity, dtype=jnp.int32)[None, :] < pr_nnz[:, None])
-        & (pr_col >= lo)
-        & (pr_col < hi)
+    live = jnp.arange(out_capacity, dtype=jnp.int32) < part.nnz
+    dest = jnp.where(live, jnp.minimum(part.col // nb_split, nlayers - 1),
+                     nlayers)
+    d_s, r_s, c_s, v_s = jax.lax.sort(
+        (dest, part.row, part.col, part.val), num_keys=1
     )
-    rows = jnp.where(valid, pr_row, mb).ravel()
-    cols = jnp.where(valid, pr_col - lo, nb_split).ravel()
-    vals = jnp.where(valid, pr_val, 0).ravel()
-    nvalid = jnp.sum(valid.astype(jnp.int32))
+    ids = jnp.arange(nlayers, dtype=jnp.int32)
+    starts = jnp.searchsorted(d_s, ids, side="left").astype(jnp.int32)
+    lens = jnp.searchsorted(d_s, ids, side="right").astype(jnp.int32) - starts
+    overfull = jnp.any(lens > fiber_cap)
+    tt = jnp.arange(fiber_cap, dtype=jnp.int32)
+    pos = jnp.minimum(starts[:, None] + tt[None, :], out_capacity - 1)
+    ok = tt[None, :] < lens[:, None]
+    sr_r = jnp.where(ok, r_s[pos], mb)
+    sr_c = jnp.where(ok, c_s[pos], nb)
+    sr_v = jnp.where(ok, v_s[pos], 0)
+    rr = jax.lax.all_to_all(sr_r, "l", 0, 0)
+    rc = jax.lax.all_to_all(sr_c, "l", 0, 0)
+    rv = jax.lax.all_to_all(sr_v, "l", 0, 0)
+    rlen = jax.lax.all_to_all(
+        jnp.broadcast_to(jnp.minimum(lens, fiber_cap)[:, None],
+                         (nlayers, 1)), "l", 0, 0,
+    ).reshape(nlayers)
+    over = jax.lax.pmax(overfull.astype(jnp.int32), "l") > 0
+    t = jax.lax.axis_index("l")
+    lo = t.astype(jnp.int32) * nb_split
+    rok = tt[None, :] < rlen[:, None]
+    rows = jnp.where(rok, rr, mb).ravel()
+    cols = jnp.where(rok, rc - lo, nb_split).ravel()
+    vals = jnp.where(rok, rv, 0).ravel()
+    nvalid = jnp.sum(rlen)
     c = sort_compress(rows, cols, vals, nvalid, (mb, nb_split), sr=sr,
                       out_capacity=out_capacity)
+    nnz_out = jnp.where(over, out_capacity, c.nnz).astype(jnp.int32)
     return (
         c.row.reshape(1, 1, 1, -1),
         c.col.reshape(1, 1, 1, -1),
         c.val.reshape(1, 1, 1, -1),
-        c.nnz.reshape(1, 1, 1),
+        nnz_out.reshape(1, 1, 1),
     )
 
 
@@ -261,10 +285,13 @@ def summa3d_spgemm(
     kb_b, nb = b.block_shape()
     l = grid.layers
     assert nb % l == 0, "column block must split evenly across layers"
+    # per-destination-layer exchange capacity: balanced share + 2x slack
+    fiber_cap = min(out_capacity,
+                    max(-(-out_capacity // l) * 2, 2048))
     fn = functools.partial(
         _summa3d_local,
         sr=sr, flops_cap=flops_cap, out_capacity=out_capacity,
-        mb=mb, nb=nb, kb_a=kb_a, kb_b=kb_b, nlayers=l,
+        fiber_cap=fiber_cap, mb=mb, nb=nb, kb_a=kb_a, kb_b=kb_b, nlayers=l,
     )
     crow, ccol, cval, cnnz = shard_map(
         fn,

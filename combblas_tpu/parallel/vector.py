@@ -50,6 +50,7 @@ __all__ = [
     "dist_sort",
     "dist_rand_perm",
     "dist_route",
+    "dist_gather",
     "dist_apply_perm",
     "dist_invert",
     "dist_uniq",
@@ -324,6 +325,61 @@ def dist_route(
         out_specs=(vspec, vspec),
         check_vma=False,
     )(idx, val, mask, init)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def dist_gather(x: jax.Array, idx: jax.Array, grid: ProcGrid) -> jax.Array:
+    """Distributed gather: out[i] = x[idx[i]] — the vector SubsRef /
+    ``FullyDistVec::operator()(FullyDistVec)`` (``FullyDistVec.cpp``)
+    counterpart.  Two owner exchanges: requests travel to the index's owner,
+    answers travel back to the requester.  Out-of-range indices return 0."""
+    p = grid.nprocs
+    n_x = x.shape[0]
+    n_i = idx.shape[0]
+    assert n_x % p == 0 and n_i % p == 0
+    cx = n_x // p
+    ci = n_i // p
+    axes = _axes(grid)
+    vspec = P(axes)
+
+    def f(x_loc, i_loc):
+        me = jax.lax.axis_index(axes).astype(jnp.int32)
+        t = jnp.arange(ci, dtype=jnp.int32)
+        ok = (i_loc >= 0) & (i_loc < n_x)
+        dest = jnp.where(ok, jnp.clip(i_loc // cx, 0, p - 1), p)
+        # group requests by owner; remember the requester's slot
+        d_s, q_s, slot_s = jax.lax.sort(
+            (dest, i_loc.astype(jnp.int32), t), num_keys=1
+        )
+        ids = jnp.arange(p, dtype=jnp.int32)
+        starts = jnp.searchsorted(d_s, ids, side="left").astype(jnp.int32)
+        lens = (
+            jnp.searchsorted(d_s, ids, side="right").astype(jnp.int32)
+            - starts
+        )
+        pos = jnp.minimum(starts[:, None] + t[None, :], ci - 1)
+        okk = t[None, :] < lens[:, None]
+        sq = jnp.where(okk, q_s[pos], -1)
+        ss = jnp.where(okk, slot_s[pos], -1)
+        rq = jax.lax.all_to_all(sq, axes, 0, 0)   # requests for my slice
+        rs = jax.lax.all_to_all(ss, axes, 0, 0)
+        live = rq >= 0
+        ans = jnp.where(
+            live, x_loc[jnp.clip(rq - me * cx, 0, cx - 1)],
+            jnp.zeros((), x_loc.dtype),
+        )
+        # answers go straight back: the exchange is symmetric, so a second
+        # all_to_all returns each answer to its requesting device
+        back_a = jax.lax.all_to_all(ans, axes, 0, 0)
+        back_s = jax.lax.all_to_all(rs, axes, 0, 0)
+        out = jnp.zeros((ci,), x_loc.dtype)
+        slot = jnp.where(back_s >= 0, back_s, ci).reshape(-1)
+        return out.at[slot].set(back_a.reshape(-1), mode="drop")
+
+    return shard_map(
+        f, mesh=grid.mesh, in_specs=(vspec, vspec), out_specs=vspec,
+        check_vma=False,
+    )(x, idx)
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))

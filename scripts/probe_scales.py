@@ -1,7 +1,9 @@
-"""Measure true (exact int64) flops + nnz for R-MAT A^2 across scales, and
-stage-by-stage timing of the pallas slab path at scale 16.  TPU-only probe."""
+"""TPU probe: time the (new) equal-flops slab pipeline at scales 16-18 and
+verify nnz against the host-measured reference kernel."""
 import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -11,78 +13,41 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from combblas_tpu.gen.rmat import rmat_matrix
-from combblas_tpu.ops.spgemm import spgemm_flops
-
-def sync(x):
-    return int(np.asarray(x.reshape(-1)[0])) if hasattr(x, 'reshape') else x
-
-print("== flops sweep ==", flush=True)
-for scale in (16, 17, 18, 19, 20, 21, 22):
-    t0 = time.perf_counter()
-    a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=16)
-    nnz = int(a.nnz)
-    fl = spgemm_flops(a, a)
-    # max row degree of A (hub size)
-    from jax.ops import segment_sum
-    deg = segment_sum(jnp.ones((a.capacity,), jnp.int32),
-                      jnp.where(a.mask(), a.row, a.shape[0]),
-                      num_segments=a.shape[0] + 1)[:a.shape[0]]
-    mx = int(jnp.max(deg))
-    print(f"scale={scale} nnz_a={nnz} flops={fl} maxdeg={mx} "
-          f"t={time.perf_counter()-t0:.1f}s", flush=True)
-    del a
-
-print("== stage timing, scale 16 ==", flush=True)
-scale = 16
-a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=16)
-fl = spgemm_flops(a, a)
 from combblas_tpu.ops.spgemm import (
-    _pallas_slab, _pallas_slab_plan, round_capacity_frac, stream_capacity,
+    round_capacity_frac,
+    spgemm_flops,
     spgemm_pallas_rowchunked,
+    spgemm_pallas, spgemm_pallas_bounds, stream_capacity,
 )
 
-m, n = a.shape
-key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
-mem_slabs = -(-fl // (1 << 27))
-nslabs = max(key_slabs, mem_slabs, 2)
-print(f"nslabs={nslabs} (key={key_slabs} mem={mem_slabs})", flush=True)
-t0 = time.perf_counter()
-num_slabs, slab_rows, slab_nnz_cap, chunk_cap, worst_fl = _pallas_slab_plan(a, a, nslabs)
-print(f"plan: num_slabs={num_slabs} slab_rows={slab_rows} nnz_cap={slab_nnz_cap} "
-      f"chunk_cap={chunk_cap} worst_fl={worst_fl} t={time.perf_counter()-t0:.2f}s",
-      flush=True)
-slab_out_cap = max(round_capacity_frac(min(worst_fl, max(2 * 167772160 // num_slabs, 2048))), 2048)
-scap = stream_capacity(worst_fl)
-print(f"slab_out_cap={slab_out_cap} stream_cap={scap} "
-      f"total_sort_traffic={num_slabs*scap/1e6:.0f}M vs flops {fl/1e6:.0f}M", flush=True)
+KNOWN_NNZ = {14: 20143729, 16: 163341763}
 
-from combblas_tpu.semiring import PLUS_TIMES
-# time one slab end to end (warm)
-for s in range(num_slabs):
+for scale, iters in ((16, 2), (17, 2), (18, 1)):
+    a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=16)
+    fl = spgemm_flops(a, a)
     t0 = time.perf_counter()
-    part = _pallas_slab(a, a, jnp.asarray(s, jnp.int32), PLUS_TIMES,
-                        slab_rows=slab_rows, slab_nnz_cap=slab_nnz_cap,
-                        chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
-                        stream_cap=scap)
-    nnz_s = int(part[3])
-    print(f"slab {s}: nnz={nnz_s} t={time.perf_counter()-t0:.2f}s (incl compile on first)",
-          flush=True)
-# warm second pass
-t0 = time.perf_counter()
-for s in range(num_slabs):
-    part = _pallas_slab(a, a, jnp.asarray(s, jnp.int32), PLUS_TIMES,
-                        slab_rows=slab_rows, slab_nnz_cap=slab_nnz_cap,
-                        chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
-                        stream_cap=scap)
-    nnz_s = int(part[3])
-print(f"warm slabs-only total: {time.perf_counter()-t0:.2f}s", flush=True)
-
-# full call (includes assembly)
-tight = round_capacity_frac(163341763)
-t0 = time.perf_counter()
-c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, out_capacity=tight)
-print(f"full rowchunked (cold assembly): {time.perf_counter()-t0:.2f}s nnz={int(c.nnz)}", flush=True)
-t0 = time.perf_counter()
-c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, out_capacity=tight)
-nnzc = int(c.nnz)
-print(f"full rowchunked warm: {time.perf_counter()-t0:.2f}s nnz={nnzc}", flush=True)
+    mem_slabs = max(-(-fl // (1 << 27)), 2)
+    # discover nnz_c once
+    est = round_capacity_frac(int(fl * 0.45))
+    c = spgemm_pallas_rowchunked(a, a, num_slabs=mem_slabs, out_capacity=est)
+    nnz_c = int(c.nnz)
+    print(f"scale={scale} flops={fl} first(cold)={time.perf_counter()-t0:.2f}s "
+          f"nnz_c={nnz_c} est={est}", flush=True)
+    if scale in KNOWN_NNZ:
+        assert nnz_c == KNOWN_NNZ[scale], (nnz_c, KNOWN_NNZ[scale])
+    del c
+    tight = round_capacity_frac(nnz_c)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        c = spgemm_pallas_rowchunked(a, a, num_slabs=mem_slabs,
+                                     out_capacity=tight)
+        # force the ENTIRE output (not just nnz): pull last live element
+        n2 = int(c.nnz)
+        tailv = float(np.asarray(jax.device_get(c.val[n2 - 1])))
+        ts.append(time.perf_counter() - t0)
+        del c
+    dt = min(ts)
+    print(f"scale={scale} warm={dt:.2f}s rate={fl/dt/1e6:.1f} Mproducts/s "
+          f"(all warm: {['%.2f' % x for x in ts]})", flush=True)
+    del a

@@ -156,3 +156,15 @@ def test_dist_sort_large_random(grid):
     x = rng.integers(0, 1 << 30, n).astype(np.int32)
     xs = dist_sort(_put(x, grid), grid, length=n)
     np.testing.assert_array_equal(np.asarray(xs)[:n], np.sort(x))
+
+
+def test_dist_gather(grid):
+    rng = np.random.default_rng(13)
+    n = 320
+    x = rng.standard_normal(n).astype(np.float32)
+    idx = rng.integers(-5, n + 5, n).astype(np.int32)  # some out of range
+    from combblas_tpu.parallel.vector import dist_gather
+
+    out = dist_gather(_put(x, grid), _put(idx, grid), grid)
+    ref = np.where((idx >= 0) & (idx < n), x[np.clip(idx, 0, n - 1)], 0.0)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref)
