@@ -122,3 +122,21 @@ class TwitterGraph:
         """Materialized semantic subgraph (repeated-query path)."""
         return materialize_filtered(
             self.mat, tweet_within_interval(begin, end))
+
+    def distribute(self, grid):
+        """Place the semantic graph on a 2D grid: a DistSpMat whose values
+        are the packed codes.  Drive with
+        :func:`combblas_tpu.models.filtered.bfs_filtered_dist` /
+        ``mis_filtered_dist`` — the distributed FilteredBFS/FilteredMIS."""
+        from combblas_tpu.parallel.dist import DistSpMat
+
+        return DistSpMat.from_local(self.mat, grid)
+
+    def bfs_within_dist(self, grid_or_mat, root: int, begin: int, end: int):
+        """Distributed filtered BFS (``FilteredBFS.cpp:129`` on the mesh)."""
+        from combblas_tpu.models.filtered import bfs_filtered_dist
+        from combblas_tpu.parallel.dist import DistSpMat
+
+        mat = (grid_or_mat if isinstance(grid_or_mat, DistSpMat)
+               else self.distribute(grid_or_mat))
+        return bfs_filtered_dist(mat, root, tweet_within_interval(begin, end))

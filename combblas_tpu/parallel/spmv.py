@@ -107,13 +107,14 @@ def dist_spmv(a: DistSpMat, x: jax.Array, sr: Semiring = PLUS_TIMES) -> jax.Arra
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "transpose"))
+@functools.partial(jax.jit, static_argnames=("sr", "transpose", "edge_pred"))
 def dist_spmsv_masked(
     a: DistSpMat,
     x_val: jax.Array,
     x_mask: jax.Array,
     sr: Semiring = PLUS_TIMES,
     transpose: bool = False,
+    edge_pred=None,
 ):
     """Masked-sparse distributed SpMV: (values, mask) in, (values, mask) out.
 
@@ -152,6 +153,10 @@ def dist_spmsv_masked(
             src, dst, src_n, dst_n, red_ax = c, r, nb, mb, "c"
         srcc = jnp.minimum(src, src_n - 1)
         active = valid & m_blk[srcc]
+        if edge_pred is not None:
+            # late filtering (SemanticGraph / FilteredBFS.cpp:129): the edge
+            # predicate fuses into the traversal as one VPU compare per edge
+            active = active & edge_pred(v)
         prod = sr.mul(v, x_blk[srcc])
         zero = sr.zero(prod.dtype)
         prod = jnp.where(active, prod, zero)
