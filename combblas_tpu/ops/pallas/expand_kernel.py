@@ -32,7 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["build_chunk_meta", "expand_chunks", "expand_chunks_compact", "CH"]
+__all__ = [
+    "build_chunk_meta",
+    "expand_chunks",
+    "expand_chunks_compact",
+    "expand_chunks_compact_wide",
+    "CH",
+]
 
 #: chunk element size == lane width; one DMA covers CHROWS+1=2 table rows.
 CH = 128
@@ -55,7 +61,9 @@ def build_chunk_meta(
     Returns (meta int32[chunk_cap, 8], metaf f32[chunk_cap, 1], total_ch,
     total_flops).  Dummy chunks past ``total_ch`` have vlen == 0 (the kernel
     emits all-sentinel rows for them).  Fields: 0=src_row, 1=mis, 2=vlen,
-    3=key_base.
+    3=key_base, 4=a_row (for the wide-key kernels, where row and column
+    travel as separate int32 streams because the packed product m*n
+    overflows int32).
     """
     kk = rp_lo.shape[0]
     cap_a = a_row.shape[0]
@@ -93,6 +101,7 @@ def build_chunk_meta(
                                           jnp.int32)),
         jnp.float32,
     )
+    f_ar = fill(a_row)
     r = tc - f_start
     live = tc < total_ch
     elem = f_lo + r * CH
@@ -101,9 +110,10 @@ def build_chunk_meta(
     src_row = jnp.where(live, elem // CH, 0)
     mis = jnp.where(live, elem % CH, 0)
     kb = jnp.where(live, f_kb, 0)
+    arow = jnp.where(live, f_ar, 0)
     meta = jnp.stack(
-        [src_row, mis, vlen, kb, tc, tc, tc, tc], axis=1
-    )  # cols 4-7 unused padding for an 8-wide SMEM row
+        [src_row, mis, vlen, kb, arow, tc, tc, tc], axis=1
+    )  # cols 5-7 unused padding for an 8-wide SMEM row
     metaf = f_av[:, None]
     return meta, metaf, total_ch, total_flops
 
@@ -330,6 +340,207 @@ def expand_chunks_compact(
         interpret=interpret,
     )(meta, metaf, b_col2d, b_val2d, key_init, val_init)
     return key2d.reshape(-1), val2d.reshape(-1), cnt[0]
+
+
+def _expand_compact_wide_kernel(sr: Semiring, out_rows: int,
+                                total_steps: int):
+    """Wide-key compacted expansion: like :func:`_expand_compact_kernel` but
+    the sort key travels as TWO int32 streams (row, col) instead of one
+    packed int32 — required once m*n overflows int32 (R-MAT scale >= 19 for
+    square A²).  The row of a chunk is a scalar (meta col 4); the column
+    stream is the realigned B column ids.  Pads carry (_SENT, _SENT)."""
+
+    def kernel(meta_ref, metaf_ref, bc_ref, bv_ref, _rinit_ref, _kinit_ref,
+               _vinit_ref, orow_ref, okey_ref, oval_ref, cnt_ref, scr_c,
+               scr_v, stage_r, stage_k, stage_v, st, sems, sem_r, sem_k,
+               sem_v):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            st[0] = 0   # staging fill count
+            st[1] = 0   # output row cursor
+
+        def issue(k, _):
+            s = meta_ref[k, 0]
+            pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
+                                  sems.at[k, 0]).start()
+            pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
+                                  sems.at[k, 1]).start()
+            return 0
+
+        jax.lax.fori_loop(0, _CPB, issue, 0, unroll=True)
+
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, CH), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+        max_flush_row = out_rows - (_SR - 1)
+
+        def consume(k, _):
+            mis = meta_ref[k, 1]
+            vlen = meta_ref[k, 2]
+            arow = meta_ref[k, 4]
+            av = metaf_ref[k, 0]
+            pltpu.make_async_copy(bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                                  scr_c.at[k], sems.at[k, 0]).wait()
+            pltpu.make_async_copy(bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                                  scr_v.at[k], sems.at[k, 1]).wait()
+
+            @pl.when(vlen > 0)
+            def _():
+                idx = (lane2 + mis) % CH
+                wrap = (lane2 + mis) >= CH
+                cr = jnp.take_along_axis(scr_c[k], idx, axis=1)
+                vr = jnp.take_along_axis(scr_v[k], idx, axis=1)
+                calign = jnp.where(wrap, pltpu.roll(cr, 1, 0), cr)[:1]
+                valign = jnp.where(wrap, pltpu.roll(vr, 1, 0), vr)[:1]
+                rowrow = jnp.full((1, CH), arow, jnp.int32)
+                keyrow = calign
+                valrow = sr.mul(av, valign)
+                fc = st[0]
+                fo = fc % CH
+                ro = fc // CH
+                rr = pltpu.roll(rowrow, fo, 1)
+                rk = pltpu.roll(keyrow, fo, 1)
+                rv = pltpu.roll(valrow, fo, 1)
+                m1 = (lane1 >= fo) & (lane1 < fo + vlen)
+                pltpu.store(stage_r.at[pl.ds(ro, 1), :], rr, mask=m1)
+                pltpu.store(stage_k.at[pl.ds(ro, 1), :], rk, mask=m1)
+                pltpu.store(stage_v.at[pl.ds(ro, 1), :], rv, mask=m1)
+                m2 = lane1 < (fo + vlen - CH)
+                pltpu.store(stage_r.at[pl.ds(ro + 1, 1), :], rr, mask=m2)
+                pltpu.store(stage_k.at[pl.ds(ro + 1, 1), :], rk, mask=m2)
+                pltpu.store(stage_v.at[pl.ds(ro + 1, 1), :], rv, mask=m2)
+                st[0] = fc + vlen
+
+            @pl.when(st[0] >= (_SR - 1) * CH)
+            def _():
+                orow = jnp.minimum(st[1], max_flush_row)
+                dr = pltpu.make_async_copy(
+                    stage_r.at[pl.ds(0, _SR - 1)],
+                    orow_ref.at[pl.ds(orow, _SR - 1)], sem_r)
+                dk = pltpu.make_async_copy(
+                    stage_k.at[pl.ds(0, _SR - 1)],
+                    okey_ref.at[pl.ds(orow, _SR - 1)], sem_k)
+                dv = pltpu.make_async_copy(
+                    stage_v.at[pl.ds(0, _SR - 1)],
+                    oval_ref.at[pl.ds(orow, _SR - 1)], sem_v)
+                dr.start(); dk.start(); dv.start()
+                dr.wait(); dk.wait(); dv.wait()
+                stage_r[0, :] = stage_r[_SR - 1, :]
+                stage_k[0, :] = stage_k[_SR - 1, :]
+                stage_v[0, :] = stage_v[_SR - 1, :]
+                st[0] = st[0] - (_SR - 1) * CH
+                st[1] = st[1] + (_SR - 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, _CPB, consume, 0, unroll=True)
+
+        @pl.when(b == total_steps - 1)
+        def _():
+            fc = st[0]
+            fo = fc % CH
+            ro = fc // CH
+            pltpu.store(stage_r.at[pl.ds(ro, 1), :],
+                        jnp.full((1, CH), _SENT, jnp.int32),
+                        mask=lane1 >= fo)
+            pltpu.store(stage_k.at[pl.ds(ro, 1), :],
+                        jnp.full((1, CH), _SENT, jnp.int32),
+                        mask=lane1 >= fo)
+            pltpu.store(stage_v.at[pl.ds(ro, 1), :],
+                        jnp.zeros((1, CH), stage_v.dtype),
+                        mask=lane1 >= fo)
+            for r in range(1, _SR):
+                @pl.when(r > ro)
+                def _():
+                    stage_r[r, :] = jnp.full((CH,), _SENT, jnp.int32)
+                    stage_k[r, :] = jnp.full((CH,), _SENT, jnp.int32)
+                    stage_v[r, :] = jnp.zeros((CH,), stage_v.dtype)
+
+            orow = jnp.minimum(st[1], max_flush_row)
+            dr = pltpu.make_async_copy(
+                stage_r.at[pl.ds(0, _SR - 1)],
+                orow_ref.at[pl.ds(orow, _SR - 1)], sem_r)
+            dk = pltpu.make_async_copy(
+                stage_k.at[pl.ds(0, _SR - 1)],
+                okey_ref.at[pl.ds(orow, _SR - 1)], sem_k)
+            dv = pltpu.make_async_copy(
+                stage_v.at[pl.ds(0, _SR - 1)],
+                oval_ref.at[pl.ds(orow, _SR - 1)], sem_v)
+            dr.start(); dk.start(); dv.start()
+            dr.wait(); dk.wait(); dv.wait()
+            cnt_ref[0] = st[1] * CH + st[0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "stream_cap", "interpret"))
+def expand_chunks_compact_wide(
+    meta: jax.Array,
+    metaf: jax.Array,
+    b_col2d: jax.Array,
+    b_val2d: jax.Array,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    stream_cap: int,
+    interpret: bool = False,
+):
+    """Wide-key compacted expansion: (row, col, val, total) streams with no
+    chunk padding.  ``meta`` must come from :func:`build_chunk_meta` called
+    with ``stride=0`` (rows ride meta col 4, columns are un-based B ids).
+    Sort downstream with ``jax.lax.sort((row, col, val), num_keys=2)``."""
+    chunk_cap = meta.shape[0]
+    assert chunk_cap % _CPB == 0, chunk_cap
+    assert stream_cap % CH == 0, stream_cap
+    out_rows = stream_cap // CH
+    assert out_rows >= _SR, out_rows
+    grid = (chunk_cap // _CPB,)
+    row_init = jnp.full((out_rows, CH), _SENT, jnp.int32)
+    key_init = jnp.full((out_rows, CH), _SENT, jnp.int32)
+    val_init = jnp.zeros((out_rows, CH), b_val2d.dtype)
+    row2d, key2d, val2d, cnt = pl.pallas_call(
+        _expand_compact_wide_kernel(sr, out_rows, grid[0]),
+        out_shape=(
+            jax.ShapeDtypeStruct((out_rows, CH), jnp.int32),
+            jax.ShapeDtypeStruct((out_rows, CH), jnp.int32),
+            jax.ShapeDtypeStruct((out_rows, CH), b_val2d.dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_CPB, 8), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CPB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_CPB, 2, CH), jnp.int32),
+            pltpu.VMEM((_CPB, 2, CH), b_val2d.dtype),
+            pltpu.VMEM((_SR, CH), jnp.int32),
+            pltpu.VMEM((_SR, CH), jnp.int32),
+            pltpu.VMEM((_SR, CH), b_val2d.dtype),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((_CPB, 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, metaf, b_col2d, b_val2d, row_init, key_init, val_init)
+    return row2d.reshape(-1), key2d.reshape(-1), val2d.reshape(-1), cnt[0]
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "interpret"))

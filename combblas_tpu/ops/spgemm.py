@@ -52,6 +52,8 @@ __all__ = [
     "spgemm_pallas",
     "spgemm_pallas_bounds",
     "spgemm_pallas_rowchunked",
+    "spgemm_pallas_wide",
+    "spgemm_pallas_streamed",
 ]
 
 
@@ -522,6 +524,64 @@ def spgemm_pallas(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "chunk_cap", "out_capacity", "stream_cap",
+                     "interpret"),
+)
+def spgemm_pallas_wide(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    chunk_cap: int,
+    out_capacity: int,
+    stream_cap: int,
+    interpret: bool = False,
+) -> SpCOO:
+    """Wide-key Pallas ESC SpGEMM: row and column ride as separate int32
+    streams (``lax.sort(..., num_keys=2)``) so there is NO packed-key range
+    limit — the large-scale path (square R-MAT A² overflows int32 packing at
+    scale 19).  ~1.4x the narrow path's sort payload; everything else is the
+    same segment-DMA expansion / single-pass compress design.
+    Counterpart of the reference's 64-bit-index local multiply
+    (``mtSpGEMM.h:214`` with IT=int64_t)."""
+    from combblas_tpu.ops.pallas.compress_kernel import (
+        compress_sorted_wide_pallas,
+    )
+    from combblas_tpu.ops.pallas.expand_kernel import (
+        build_chunk_meta,
+        expand_chunks_compact_wide,
+    )
+
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, (a.shape, b.shape)
+    b_rp = b.row_ptr()
+    # stride=0: the kernel's key stream is the raw B column ids; rows ride
+    # meta col 4
+    meta, metaf, _, _flops = build_chunk_meta(
+        a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], 0, chunk_cap
+    )
+    bc2, bv2 = _tables_2d(b)
+    hi, lo, val, _total = expand_chunks_compact_wide(
+        meta, metaf, bc2, bv2, sr, stream_cap=stream_cap, interpret=interpret
+    )
+    hi, lo, val = jax.lax.sort((hi, lo, val), num_keys=2)
+    out_cap = max(-(-out_capacity // 128) * 128, 2048)
+    ohi, olo, oval, nnz = compress_sorted_wide_pallas(
+        hi, lo, val, sr, out_capacity=out_cap, interpret=interpret
+    )
+    live = jnp.arange(out_cap, dtype=jnp.int32) < nnz
+    return SpCOO(
+        row=jnp.minimum(ohi, m),
+        col=jnp.where(live, jnp.minimum(olo, n), n),
+        val=oval.astype(a.val.dtype),
+        nnz=nnz,
+        shape=(m, n),
+    )
+
+
 @jax.jit
 def _row_flops_cum_f32(a: SpCOO, b: SpCOO):
     """(m,) float32 inclusive cumsum of per-row product counts — the balance
@@ -582,14 +642,17 @@ def _slab_stats(a: SpCOO, b: SpCOO, bounds, *, num_slabs: int):
     return nnz_s, ch_s, fl_s, fl_f
 
 
-def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int):
+def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int,
+                      wide: bool = False):
     """Host-side slab plan: equal-flops boundaries (split further to respect
     the packed-key row-span limit and int32-safe per-slab flops) + uniform
     static capacities.  Returns (bounds np.int32 (S+1,), span_cap,
-    slab_nnz_cap, chunk_cap, worst_fl)."""
+    slab_nnz_cap, chunk_cap, worst_fl).  ``wide`` drops the packed-key span
+    limit (rows/cols sort as separate int32 keys), so slab count is purely
+    memory/int32-flops driven."""
     m, k = a.shape
     n = b.shape[1]
-    span_max = max((1 << 31) // (n + 1) - 2, 1)
+    span_max = m if wide else max((1 << 31) // (n + 1) - 2, 1)
     num_slabs = max(1, min(num_slabs, m))
     for _ in range(8):  # replan if a slab still overflows int32
         bounds = np.asarray(_equal_flops_bounds(a, b, num_slabs=num_slabs))
@@ -622,11 +685,34 @@ def _pallas_slab_plan(a: SpCOO, b: SpCOO, num_slabs: int):
     return bounds, span_cap, slab_nnz_cap, chunk_cap, max(worst_fl, 1)
 
 
+def _slab_extract(a: SpCOO, k: int, bounds, s, *, span_cap: int,
+                  slab_nnz_cap: int):
+    """A's nnz window for rows [bounds[s], bounds[s+1]), rows rebased
+    slab-local.  Returns (sub SpCOO with shape (span_cap, k), row_lo)."""
+    a_rp = a.row_ptr()
+    row_lo = bounds[s]
+    row_hi = bounds[s + 1]
+    lo = a_rp[row_lo]
+    hi = a_rp[row_hi]
+    t = jnp.arange(slab_nnz_cap, dtype=jnp.int32)
+    src = jnp.minimum(lo + t, a.capacity - 1)
+    sel = t < (hi - lo)
+    sub = SpCOO(
+        row=jnp.where(sel, jnp.minimum(a.row[src] - row_lo, span_cap),
+                      span_cap),
+        col=jnp.where(sel, a.col[src], k),
+        val=jnp.where(sel, a.val[src], 0),
+        nnz=(hi - lo).astype(jnp.int32),
+        shape=(span_cap, k),
+    )
+    return sub, row_lo
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "span_cap", "slab_nnz_cap", "chunk_cap",
                      "slab_out_cap", "stream_cap", "out_capacity",
-                     "interpret"),
+                     "wide", "interpret"),
     donate_argnums=(4, 5, 6),  # dst buffers update in place across slabs
 )
 def _pallas_slab_step(
@@ -647,6 +733,7 @@ def _pallas_slab_step(
     slab_out_cap: int,
     stream_cap: int,
     out_capacity: int,
+    wide: bool = False,
     interpret: bool = False,
 ):
     """One slab: extract A's nnz window for rows [bounds[s], bounds[s+1]),
@@ -661,25 +748,16 @@ def _pallas_slab_step(
     ~200M el/s; dynamic_update_slice streams at HBM speed)."""
     m, k = a.shape
     n = b.shape[1]
-    a_rp = a.row_ptr()
-    row_lo = bounds[s]
-    row_hi = bounds[s + 1]
-    lo = a_rp[row_lo]
-    hi = a_rp[row_hi]
-    t = jnp.arange(slab_nnz_cap, dtype=jnp.int32)
-    src = jnp.minimum(lo + t, a.capacity - 1)
-    sel = t < (hi - lo)
-    sub = SpCOO(
-        row=jnp.where(sel, jnp.minimum(a.row[src] - row_lo, span_cap),
-                      span_cap),
-        col=jnp.where(sel, a.col[src], k),
-        val=jnp.where(sel, a.val[src], 0),
-        nnz=(hi - lo).astype(jnp.int32),
-        shape=(span_cap, k),
-    )
-    c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
-                      out_capacity=slab_out_cap, stream_cap=stream_cap,
-                      interpret=interpret)
+    sub, row_lo = _slab_extract(a, k, bounds, s, span_cap=span_cap,
+                                slab_nnz_cap=slab_nnz_cap)
+    if wide:
+        c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
+                               out_capacity=slab_out_cap,
+                               stream_cap=stream_cap, interpret=interpret)
+    else:
+        c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
+                          out_capacity=slab_out_cap, stream_cap=stream_cap,
+                          interpret=interpret)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
     grow = jnp.where(live, c.row + row_lo, m)
     gcol = jnp.where(live, c.col, n)
@@ -699,6 +777,7 @@ def spgemm_pallas_rowchunked(
     *,
     num_slabs: int,
     out_capacity: int,
+    wide: bool = False,
     interpret: bool = False,
 ) -> SpCOO:
     """Memory-bounded Pallas SpGEMM over disjoint row slabs of A.
@@ -708,13 +787,16 @@ def spgemm_pallas_rowchunked(
     that), split further to respect the packed-key span limit.  All slabs run
     through ONE jitted step (boundaries are a traced array), so slab count
     does not multiply compile time.  Assembly is contiguous appends (see
-    :func:`_pallas_slab_step`)."""
+    :func:`_pallas_slab_step`).  ``wide`` selects the dual-int32-key pipeline
+    (no packed-key span limit — mandatory once n is large enough that even
+    one-row slabs overflow int31, and much faster whenever the span limit
+    would force more slabs than the memory budget does)."""
     m, k = a.shape
     n = b.shape[1]
     bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
-        _pallas_slab_plan(a, b, num_slabs)
+        _pallas_slab_plan(a, b, num_slabs, wide=wide)
     num_slabs = len(bounds) - 1
-    assert (span_cap + 1) * (n + 1) < (1 << 31), (span_cap, n)
+    assert wide or (span_cap + 1) * (n + 1) < (1 << 31), (span_cap, n)
     slab_out_cap = max(
         round_capacity_frac(
             min(worst_fl, max(2 * out_capacity // num_slabs, 2048))
@@ -739,13 +821,108 @@ def spgemm_pallas_rowchunked(
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, out_capacity=out_capacity,
-            interpret=interpret,
+            wide=wide, interpret=interpret,
         )
     row, col, val, total, truncated = state
     total = jnp.minimum(jnp.where(truncated, out_capacity, total),
                         out_capacity)
     return SpCOO(row=row, col=col, val=val, nnz=total.astype(jnp.int32),
                  shape=(m, n))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "span_cap", "slab_nnz_cap", "chunk_cap",
+                     "slab_out_cap", "stream_cap", "wide", "interpret"),
+)
+def _pallas_slab_digest_step(
+    a: SpCOO,
+    b: SpCOO,
+    bounds,
+    s,
+    total_lo,
+    total_hi,
+    checksum,
+    truncated,
+    sr: Semiring,
+    *,
+    span_cap: int,
+    slab_nnz_cap: int,
+    chunk_cap: int,
+    slab_out_cap: int,
+    stream_cap: int,
+    wide: bool = False,
+    interpret: bool = False,
+):
+    """One slab of :func:`spgemm_pallas_streamed`: compute the slab's C block
+    fully, fold it into the running digest, and discard it.  The nnz total
+    accumulates as 16-bit-split int32 partials (scale-22 A² outputs exceed
+    int32; same trick as :func:`_flops_partials`) so no per-slab host sync
+    is needed and the host combines exactly in int64."""
+    k = a.shape[1]
+    sub, _row_lo = _slab_extract(a, k, bounds, s, span_cap=span_cap,
+                                 slab_nnz_cap=slab_nnz_cap)
+    if wide:
+        c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
+                               out_capacity=slab_out_cap,
+                               stream_cap=stream_cap, interpret=interpret)
+    else:
+        c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
+                          out_capacity=slab_out_cap, stream_cap=stream_cap,
+                          interpret=interpret)
+    live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
+    cs = jnp.sum(jnp.where(live, c.val.astype(jnp.float32), 0.0))
+    return (total_lo + (c.nnz & 0xFFFF), total_hi + (c.nnz >> 16),
+            checksum + cs, truncated | (c.nnz >= slab_out_cap))
+
+
+def spgemm_pallas_streamed(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    num_slabs: int,
+    wide: bool = False,
+    slab_out_cap: int | None = None,
+    interpret: bool = False,
+):
+    """Slab-streamed SpGEMM for products whose ASSEMBLED output exceeds
+    device memory: every slab's C block is fully formed, merged, and
+    compacted on device, then folded into a digest and released — the
+    product is *computed* but never resident all at once.  This is the
+    terminal form of the reference's memory-bounded phasing
+    (``MemEfficientSpGEMM``, ``ParFriends.h:450``): phases exist precisely
+    because full C does not fit, and its MCL caller likewise consumes each
+    phase's output (prune/select) without ever holding raw C.
+
+    Returns (nnz_total int, checksum float, truncated bool).  Callers that
+    need the actual entries consume them per-slab via
+    :func:`spgemm_pallas_rowchunked` on row ranges instead."""
+    m, k = a.shape
+    bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
+        _pallas_slab_plan(a, b, num_slabs, wide=wide)
+    num_slabs = len(bounds) - 1
+    if slab_out_cap is None:
+        slab_out_cap = round_capacity_frac(max(worst_fl, 2048))
+    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
+    slab_stream_cap = stream_capacity(worst_fl)
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(False),
+    )
+    bounds_dev = jnp.asarray(bounds)
+    for s in range(num_slabs):
+        state = _pallas_slab_digest_step(
+            a, b, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
+            chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
+            stream_cap=slab_stream_cap, wide=wide, interpret=interpret,
+        )
+    total_lo, total_hi, checksum, truncated = state
+    total = int(total_lo) + (int(total_hi) << 16)  # exact in host int
+    return total, checksum, truncated
 
 
 def _pallas_backend_ok(a: SpCOO, b: SpCOO) -> bool:
@@ -796,7 +973,7 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
             flops_cap // 2, 8
         )
         out_cap = round_capacity_frac(int(min(est, oc, max(dense_cells, 8))))
-    use_pallas = use_pallas_slabs = False
+    use_pallas = use_pallas_slabs = wide = False
     if _pallas_backend_ok(a, b):
         chunk_cap, _ = spgemm_pallas_bounds(a, b)
         flops_exact = int(spgemm_flops(a, b))
@@ -806,11 +983,15 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
         if single_ok and scap <= limit:
             use_pallas = True
         else:
-            # enough slabs for both the memory limit and per-slab key range
+            # memory-driven slab count; the wide (dual-int32-key) pipeline
+            # removes the per-slab packed-key row-span limit, so key range
+            # never multiplies the slab count
             m, n = a.shape[0], b.shape[1]
-            key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
             mem_slabs = -(-flops_exact // max_flops_cap)
-            pallas_num_slabs = max(key_slabs, mem_slabs, 2)
+            key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
+            wide = key_slabs > mem_slabs
+            pallas_num_slabs = max(mem_slabs, 2) if wide else max(
+                key_slabs, mem_slabs, 2)
             use_pallas_slabs = pallas_num_slabs <= max(a.shape[0], 1)
     while True:
         if use_pallas:
@@ -818,7 +999,8 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
                               out_capacity=out_cap, stream_cap=scap)
         elif use_pallas_slabs:
             c = spgemm_pallas_rowchunked(
-                a, b, sr, num_slabs=pallas_num_slabs, out_capacity=out_cap)
+                a, b, sr, num_slabs=pallas_num_slabs, out_capacity=out_cap,
+                wide=wide)
         elif flops_cap <= max_flops_cap:
             c = spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
         else:
