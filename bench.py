@@ -1,14 +1,16 @@
 """Benchmark harness — prints ONE JSON line per metric (headline first).
 
-Headline: R-MAT **scale-22** A×B semiring SpGEMM on one chip, the direct
+Headline: R-MAT **scale-22** A² semiring SpGEMM on one chip, the direct
 counterpart of the reference's SCALE22RMATRMAT MultTime benchmark
 (`ReleaseTests/SCALE22RMATRMAT/btwcent1.1254794.out`: Synch SUMMA =
-109.1 s/iter on one 2009 Ranger core).  The workload matches the reference's
+109.1 s/iter on one 2009 Ranger core).  The workload uses the reference's
 own SpGEMM-benchmark generator settings (``3DSpGEMM/mpipspgemm.cpp:135-141``:
-R-MAT initiator (.6, .4/3, .4/3, .4/3), edgefactor 8) at the log's scale, and
-multiplies two independently drawn matrices like MultTime's input1_0 x
-input2_0.  ``vs_baseline`` is the time ratio 109.1 / our_secs — flops cancel,
-so no cross-generator flop calibration enters the headline.
+R-MAT initiator (.6, .4/3, .4/3, .4/3), edgefactor 8) at the log's scale.
+``vs_baseline`` is our products/s over the reference's measured per-core
+rate (~31.2 Mproducts/s from its scale-21 log + flop estimate); the raw
+wall-time ratio rides in detail — our generator's skew makes this A² several
+times the reference inputs' flops, so the time ratio understates the rate
+ratio.
 
 The scale-22 product (~1.9e9 nnz) exceeds any single chip's memory — as it
 exceeded one Ranger node's.  The reference's answer is phasing
@@ -60,8 +62,13 @@ SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
 
 
 def bench_spgemm22(scale: int, iters: int, max_flops_cap: int):
-    """Headline: SSCA R-MAT scale-`scale` A×B, slab-streamed wide-key
-    pipeline (every product formed + merged; output digested per slab)."""
+    """Headline: SSCA R-MAT scale-`scale` A², slab-streamed wide-key
+    pipeline (every product formed + merged; output digested per slab).
+
+    A² rather than A×B-of-independent-draws: the reference's input1_0 x
+    input2_0 were *structurally similar* R-MATs whose degree skews align;
+    independently scrambled draws decorrelate (flops collapse ~50x), so
+    squaring one matrix is the faithful (and harder) workload."""
     import jax
     from combblas_tpu.gen.rmat import rmat_matrix
     from combblas_tpu.ops.spgemm import (
@@ -69,16 +76,14 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int):
         spgemm_pallas_streamed,
     )
 
-    a = rmat_matrix(jax.random.PRNGKey(1), scale=scale, edgefactor=8,
+    a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
                     probs=SSCA)
-    b = rmat_matrix(jax.random.PRNGKey(2), scale=scale, edgefactor=8,
-                    probs=SSCA)
-    flops = int(spgemm_flops(a, b))
+    flops = int(spgemm_flops(a, a))
     num_slabs = max(-(-flops // max_flops_cap), 2)
 
     def run():
         tot, cks, trunc = spgemm_pallas_streamed(
-            a, b, num_slabs=num_slabs, wide=True)
+            a, a, num_slabs=num_slabs, wide=True)
         return int(tot), float(cks), bool(trunc)
 
     nnz_c, cks, trunc = run()  # compile + warmup, hard sync
@@ -89,9 +94,8 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int):
     dt = (time.perf_counter() - t0) / iters
     return dict(
         scale=scale,
-        workload="ssca_ef8_AxB_streamed",
+        workload="ssca_ef8_A2_streamed",
         nnz_a=int(a.nnz),
-        nnz_b=int(b.nnz),
         flops=flops,
         nnz_c=nnz_c,
         checksum=cks,
@@ -306,7 +310,7 @@ def main():
     ref_secs = {21: 51.3, 22: REF_SCALE22_SECS, 23: 224.3}.get(args.scale)
     r = bench_spgemm22(args.scale, args.iters, args.max_flops_cap)
     line = {
-        "metric": f"rmat_scale{args.scale}_AxB_spgemm_products_per_s",
+        "metric": f"rmat_scale{args.scale}_A2_spgemm_products_per_s",
         "value": round(r["products_per_s"] / 1e6, 2),
         "unit": "Mproducts/s",
         # products/s vs the reference's measured per-core rate at this

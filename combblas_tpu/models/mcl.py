@@ -183,7 +183,14 @@ def dist_mcl_prune(c, p: MCLParams, use_kselect2: bool = False):
         dist_reduce,
     )
 
-    ksel = dist_kselect2_col if use_kselect2 else dist_kselect_col
+    if use_kselect2:
+        ksel = dist_kselect2_col
+    else:
+        # Kselect1 with the reference's <=k-candidate shipping
+        # (SpParMat.cpp:1191): k is static here (MCL params), so the
+        # gather-along-'r' carries at most k candidates per column
+        kmax = max(int(p.recover_num), int(p.select), 1)
+        ksel = lambda c_, k_: dist_kselect_col(c_, k_, k_cap=kmax)
     c1 = dist_prune(c, _below_or_equal_cutoff(p.cutoff))
     nnz_unpruned = dist_nnz_per_col(c)
     nnz_p = dist_nnz_per_col(c1)

@@ -155,13 +155,18 @@ class DistSpMat:
         R[bi, bj, pos] = lr
         C[bi, bj, pos] = lc
         V[bi, bj, pos] = val
+        # global_put == device_put single-process; multi-process it assembles
+        # the global array from every process's (identical) host copy via
+        # make_array_from_callback — each device stores only its block
+        from combblas_tpu.parallel.multihost import global_put
+
         sh = grid.block_sharding()
         return DistSpMat(
-            row=jax.device_put(R, sh),
-            col=jax.device_put(C, sh),
-            val=jax.device_put(V, sh),
-            nnz=jax.device_put(counts.astype(np.int32),
-                               NamedSharding(grid.mesh, P("r", "c"))),
+            row=global_put(R, sh),
+            col=global_put(C, sh),
+            val=global_put(V, sh),
+            nnz=global_put(counts.astype(np.int32),
+                           NamedSharding(grid.mesh, P("r", "c"))),
             gshape=(int(m), int(n)),
             grid=grid,
         )

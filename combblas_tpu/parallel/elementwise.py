@@ -255,28 +255,69 @@ def dist_nnz_per_col(a: DistSpMat) -> jax.Array:
     )(a.row, a.col, a.val, a.nnz)
 
 
-@jax.jit
-def dist_kselect_col(a: DistSpMat, k: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def dist_kselect_col(a: DistSpMat, k: jax.Array,
+                     k_cap: int | None = None) -> jax.Array:
     """Per-column k-th largest value (1-indexed), -inf where fewer than k
-    entries — Kselect1 (``SpParMat.cpp:1191``).  Column candidates are
-    gathered along mesh axis 'r' (the reference ships ≤k candidates to the
-    column owner; we gather the pruned blocks, which MCL keeps small), then a
-    local sort ranks them.  k: scalar or col-space vector.  Output col-space
-    layout, replicated over 'r'."""
+    entries — Kselect1 (``SpParMat.cpp:1191``).
+
+    With ``k_cap`` (a static upper bound on k — MCL's select parameter),
+    each block first reduces every column to its LOCAL top-k_cap candidates
+    and only those are gathered along mesh axis 'r' — the reference's
+    ≤k-candidates-per-column shipping, O(pr * min(cap, nb*k_cap)) per device
+    instead of O(pr * cap).  Without it the full pruned blocks are gathered
+    (fine while MCL keeps matrices pruned).  k: scalar or col-space vector
+    (per-column k suppported).  Output col-space layout, replicated over
+    'r'."""
     mb, nb = block_dims(a.gshape, a.grid)
     pr, pc = a.grid.pr, a.grid.pc
     k_len = pc * nb
     k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (k_len,))
+    cap = a.row.shape[-1]
+    cand_cap = cap
+    if k_cap is not None:
+        from combblas_tpu.ops.spgemm import round_capacity_frac
+
+        k = jnp.minimum(k, k_cap)  # candidates beyond k_cap are not shipped
+        cand_cap = min(cap, round_capacity_frac(max(nb * int(k_cap), 128)))
 
     def f(row, col, val, nnz, k_loc):
-        # gather this block-column's entries from all pr row-blocks
-        col_g = jax.lax.all_gather(col.reshape(-1), "r")  # (pr, cap)
-        val_g = jax.lax.all_gather(val.reshape(-1), "r")
-        nnz_g = jax.lax.all_gather(nnz.reshape(()), "r")
-        cap = col.reshape(-1).shape[0]
-        valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < nnz_g[:, None]
-        cols = jnp.where(valid, col_g, nb).ravel()
-        vals = jnp.where(valid, val_g, 0.0).ravel()
+        c = col.reshape(-1)
+        v = val.reshape(-1)
+        valid = jnp.arange(cap, dtype=jnp.int32) < nnz.reshape(())
+        cc = jnp.where(valid, c, nb)
+        vv = jnp.where(valid, v, 0.0)
+        if k_cap is not None:
+            # local top-k_cap per column: sort (col asc, val desc), rank
+            # within the column run, keep rank < k_cap, compact left
+            key_v = jax.lax.bitcast_convert_type(
+                vv.astype(jnp.float32), jnp.uint32)
+            key_v = jnp.where((key_v >> 31).astype(jnp.bool_), ~key_v,
+                              key_v | jnp.uint32(0x80000000))
+            sc, sk, sv = jax.lax.sort((cc, ~key_v, vv), num_keys=2)
+            pos = jnp.arange(cap, dtype=jnp.int32)
+            newc = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), sc[1:] != sc[:-1]])
+            start = jax.lax.cummax(jnp.where(newc, pos, 0))
+            rank = pos - start
+            keep = (sc < nb) & (rank < k_cap)
+            dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1,
+                             cand_cap)
+            ccand = jnp.full((cand_cap,), nb, jnp.int32).at[dest].set(
+                sc, mode="drop")
+            vcand = jnp.zeros((cand_cap,), vv.dtype).at[dest].set(
+                sv, mode="drop")
+            nncand = jnp.sum(keep.astype(jnp.int32))
+        else:
+            ccand, vcand, nncand = cc, vv, nnz.reshape(())
+        # gather this block-column's candidates from all pr row-blocks
+        col_g = jax.lax.all_gather(ccand, "r")  # (pr, cand_cap)
+        val_g = jax.lax.all_gather(vcand, "r")
+        nnz_g = jax.lax.all_gather(nncand, "r")
+        gvalid = (jnp.arange(cand_cap, dtype=jnp.int32)[None, :]
+                  < nnz_g[:, None])
+        cols = jnp.where(gvalid, col_g, nb).ravel()
+        vals = jnp.where(gvalid, val_g, 0.0).ravel()
         # entries are unsorted across blocks; kselect's validity handling
         # needs sentinels (col == nb) at the end, so sort by col first.
         order_col, order_val = jax.lax.sort((cols, vals), num_keys=1)

@@ -121,3 +121,28 @@ def test_dist_transpose():
     # involution
     TT = dist_transpose(T)
     np.testing.assert_allclose(TT.to_dense(), d, rtol=1e-6)
+
+
+def test_dist_kselect_varying_k_and_kcap():
+    """Per-column varying k, with and without the <=k-candidate shipping
+    (k_cap — the reference's Kselect1 protocol, SpParMat.cpp:1191)."""
+    from combblas_tpu.ops.kselect import kselect_col
+
+    d = rand_sparse(24, 12, 0.8, seed=77)
+    g = grid22()
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g)
+    rng = np.random.default_rng(5)
+    kv = rng.integers(1, 6, 12).astype(np.int32)
+    ncols_pad = A.grid.pc * (
+        np.asarray(dist_kselect_col(A, 1)).shape[0] // A.grid.pc)
+    kfull = np.zeros((ncols_pad,), np.int32)
+    kfull[:12] = kv
+    ref = np.asarray(kselect_col(SpCOO.from_dense(d), jnp.asarray(kv)))
+    th_nocap = np.asarray(dist_kselect_col(A, jnp.asarray(kfull)))
+    np.testing.assert_allclose(th_nocap[:12], ref, rtol=1e-6)
+    th_cap = np.asarray(dist_kselect_col(A, jnp.asarray(kfull), k_cap=8))
+    np.testing.assert_allclose(th_cap[:12], ref, rtol=1e-6)
+    # k > k_cap clamps to k_cap (only k_cap candidates are shipped)
+    th_clamp = np.asarray(dist_kselect_col(A, 5, k_cap=2))
+    ref2 = np.asarray(kselect_col(SpCOO.from_dense(d), 2))
+    np.testing.assert_allclose(th_clamp[:12], ref2, rtol=1e-6)
