@@ -1,28 +1,26 @@
-"""Benchmark harness — prints ONE JSON line per metric (headline first).
+"""Benchmark harness — prints ONE JSON line per metric, CHEAP LINES FIRST.
 
-Headline: R-MAT **scale-22** A² semiring SpGEMM on one chip, the direct
-counterpart of the reference's SCALE22RMATRMAT MultTime benchmark
-(`ReleaseTests/SCALE22RMATRMAT/btwcent1.1254794.out`: Synch SUMMA =
-109.1 s/iter on one 2009 Ranger core).  The workload uses the reference's
-own SpGEMM-benchmark generator settings (``3DSpGEMM/mpipspgemm.cpp:135-141``:
-R-MAT initiator (.6, .4/3, .4/3, .4/3), edgefactor 8) at the log's scale.
-``vs_baseline`` is our products/s over the reference's measured per-core
-rate (~31.2 Mproducts/s from its scale-21 log + flop estimate); the raw
-wall-time ratio rides in detail — our generator's skew makes this A² several
-times the reference inputs' flops, so the time ratio understates the rate
-ratio.
+Delivery contract: the first JSON line (scale-14 G500-ef16 A² SpGEMM, the
+round-over-round comparable metric) must appear within ~2 minutes warm /
+~7 minutes cold; every further line streams as it completes.  The expensive
+scale-22 headline runs LAST under an explicit wall-clock budget
+(``--budget``, default 1500 s total) and reports partial slabs/s if the
+budget expires mid-stream — so a driver timeout can never erase the run.
 
-The scale-22 product (~1.9e9 nnz) exceeds any single chip's memory — as it
-exceeded one Ranger node's.  The reference's answer is phasing
-(``MemEfficientSpGEMM``, ``ParFriends.h:450``: form, consume, release per
-phase); ours is the same: every row slab's C block is fully formed, merged,
-and compacted on device, folded into (nnz, checksum), and released
-(``spgemm_pallas_streamed``).  All products are formed and all duplicates
-merged — nothing is skipped.
-
-Secondary lines (every run): the scale-14/16 G500-ef16 A² materialized
-products/s (round-over-round comparable, vs the reference's measured
-scale-21 per-core rate), SpMM GB/s, BFS GTEPS, SpMSpV, EWise roofline.
+Headline (last line): R-MAT **scale-22** A² semiring SpGEMM on one chip,
+the direct counterpart of the reference's SCALE22RMATRMAT MultTime
+benchmark (`ReleaseTests/SCALE22RMATRMAT/btwcent1.1254794.out`: Synch
+SUMMA = 109.1 s/iter on one 2009 Ranger core).  The workload uses the
+reference's own SpGEMM-benchmark generator settings
+(``3DSpGEMM/mpipspgemm.cpp:135-141``: R-MAT initiator (.6, .4/3, .4/3,
+.4/3), edgefactor 8) at the log's scale.  The scale-22 product (~1.9e9
+nnz) exceeds any single chip's memory — as it exceeded one Ranger node's.
+The reference's answer is phasing (``MemEfficientSpGEMM``,
+``ParFriends.h:450``: form, consume, release per phase); ours is the same:
+every row slab's C block is fully formed, merged, and compacted on device,
+folded into (nnz, checksum), and released (``spgemm_pallas_streamed``).
+All products are formed and all duplicates merged — nothing is skipped.
+Full unbudgeted scale-21/22 logs are committed under ``bench_logs/``.
 
 Timing methodology: the device sits behind an async tunnel where
 ``block_until_ready`` can return early, so every timed iteration ends with a
@@ -31,6 +29,7 @@ scalar device->host pull that data-depends on the result.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -40,6 +39,11 @@ def _enable_compile_cache():
     """Persistent XLA compile cache — TPU compiles go through a remote
     service here (tens of seconds each); caching makes repeat runs cheap."""
     import jax
+
+    # Honor JAX_PLATFORMS=cpu even when a site hook force-registers the
+    # TPU plugin via jax.config (config beats env): CI smoke runs on CPU.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     for d in ("/root/repo/.jax_cache", "/tmp/combblas_tpu_jax_cache"):
         try:
@@ -61,49 +65,93 @@ REF_PRODUCTS_PER_S = 1.600e9 / 51.3
 SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
 
 
-def bench_spgemm22(scale: int, iters: int, max_flops_cap: int):
+def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
+                   deadline: float | None = None):
     """Headline: SSCA R-MAT scale-`scale` A², slab-streamed wide-key
     pipeline (every product formed + merged; output digested per slab).
 
     A² rather than A×B-of-independent-draws: the reference's input1_0 x
     input2_0 were *structurally similar* R-MATs whose degree skews align;
     independently scrambled draws decorrelate (flops collapse ~50x), so
-    squaring one matrix is the faithful (and harder) workload."""
+    squaring one matrix is the faithful (and harder) workload.
+
+    ``deadline`` is an absolute ``time.perf_counter()`` wall-clock cutoff:
+    the slab loop syncs per slab and stops when it would overrun, reporting
+    partial slabs/s (slabs are equal-flops by construction, so the rate over
+    completed slabs IS the full-run rate)."""
     import jax
+    import jax.numpy as jnp
     from combblas_tpu.gen.rmat import rmat_matrix
     from combblas_tpu.ops.spgemm import (
+        _pallas_slab_digest_step,
+        _pallas_slab_plan,
+        round_capacity_frac,
         spgemm_flops,
-        spgemm_pallas_streamed,
+        stream_capacity,
     )
+    from combblas_tpu.semiring import PLUS_TIMES
 
     a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
                     probs=SSCA)
     flops = int(spgemm_flops(a, a))
     num_slabs = max(-(-flops // max_flops_cap), 2)
+    bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
+        _pallas_slab_plan(a, a, num_slabs, wide=True)
+    num_slabs = len(bounds) - 1
+    slab_out_cap = max(
+        -(-round_capacity_frac(max(worst_fl, 2048)) // 128) * 128, 2048)
+    slab_stream_cap = stream_capacity(worst_fl)
+    bounds_dev = jnp.asarray(bounds)
 
-    def run():
-        tot, cks, trunc = spgemm_pallas_streamed(
-            a, a, num_slabs=num_slabs, wide=True)
-        return int(tot), float(cks), bool(trunc)
+    def step(s, state):
+        return _pallas_slab_digest_step(
+            a, a, bounds_dev, jnp.asarray(s, jnp.int32), *state, PLUS_TIMES,
+            span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
+            chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
+            stream_cap=slab_stream_cap, wide=True, interpret=False,
+        )
 
-    nnz_c, cks, trunc = run()  # compile + warmup, hard sync
-    iters = max(1, iters // 2)  # ~2.5 min/iter at scale 22
+    zero = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
+    # compile + warm with the first slab only (a full warm run would burn
+    # the whole budget before a single timed number lands)
+    wstate = step(0, zero)
+    _ = int(wstate[0])  # hard sync via scalar pull
+    slab_secs = []
+    state = zero
+    done = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        nnz_c, cks, trunc = run()
-    dt = (time.perf_counter() - t0) / iters
-    return dict(
+    for s in range(num_slabs):
+        ts = time.perf_counter()
+        state = step(s, state)
+        _ = int(state[0])  # per-slab sync: timing + deadline check
+        slab_secs.append(time.perf_counter() - ts)
+        done = s + 1
+        if deadline is not None and done < num_slabs:
+            mean = sum(slab_secs) / len(slab_secs)
+            if time.perf_counter() + mean > deadline:
+                break
+    dt = time.perf_counter() - t0
+    total_lo, total_hi, checksum, truncated = state
+    partial = done < num_slabs
+    flops_done = flops * done / num_slabs
+    out = dict(
         scale=scale,
         workload="ssca_ef8_A2_streamed",
         nnz_a=int(a.nnz),
         flops=flops,
-        nnz_c=nnz_c,
-        checksum=cks,
-        truncated=trunc,
+        slabs_done=done,
         slabs=num_slabs,
+        partial=partial,
+        truncated=bool(truncated),
         secs=round(dt, 3),
-        products_per_s=flops / dt,
+        est_full_secs=round(dt * num_slabs / done, 3),
+        products_per_s=flops_done / dt,
     )
+    if not partial:
+        out["nnz_c"] = int(total_lo) + (int(total_hi) << 16)
+        out["checksum"] = float(checksum)
+    return out
 
 
 def bench_spgemm(scale: int, edgefactor: int, iters: int, max_flops_cap: int):
@@ -289,28 +337,85 @@ def main():
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_SECS", 1500)),
+                    help="total wall-clock budget (s); the scale-22 headline "
+                         "stops mid-stream and reports partial slabs/s "
+                         "rather than overrun it")
     ap.add_argument("--quick", action="store_true",
                     help="G500 scale-14 A² line only (old headline)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI smoke: tiny scale-12 line, 1 iter (CPU-safe)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip fast lines; run only the budgeted headline")
     ap.add_argument("--all", action="store_true",
                     help="(kept for compat; secondary lines now always run "
                          "unless --quick)")
     args = ap.parse_args()
+    t_start = time.perf_counter()
 
-    if args.quick:
-        r = bench_spgemm(14, args.edgefactor, args.iters, args.max_flops_cap)
+    def first_line(scale, iters):
+        r = bench_spgemm(scale, args.edgefactor, iters, args.max_flops_cap)
         print(json.dumps({
-            "metric": "rmat_scale14_A2_spgemm_products_per_s",
+            "metric": f"rmat_scale{scale}_A2_spgemm_products_per_s",
             "value": round(r["products_per_s"] / 1e6, 2),
             "unit": "Mproducts/s",
             "vs_baseline": round(r["products_per_s"] / REF_PRODUCTS_PER_S, 3),
             "detail": {k: v for k, v in r.items() if k != "products_per_s"},
         }), flush=True)
+
+    if args.smoke:
+        first_line(12, 1)
+        return
+    if args.quick:
+        first_line(14, args.iters)
         return
 
+    # ---- cheap, round-over-round-comparable lines FIRST ----
+    if not args.headline_only:
+        first_line(14, args.iters)
+        for name, fn, kw in (
+            ("rmat_scale16_A2_spgemm", bench_spgemm,
+             dict(scale=16, edgefactor=16, iters=args.iters,
+                  max_flops_cap=args.max_flops_cap)),
+            ("spmm_gbps", bench_spmm, dict(scale=16, d=128,
+                                           iters=args.iters)),
+            ("bfs_gteps", bench_bfs, dict(scale=14, iters=args.iters)),
+            ("spmsv", bench_spmsv, dict(scale=14, iters=args.iters)),
+            ("ewise_gteps", bench_ewise, dict(iters=args.iters)),
+        ):
+            try:
+                rr = fn(**kw)
+                if "products_per_s" in rr:
+                    rr["Mproducts_per_s"] = round(
+                        rr.pop("products_per_s") / 1e6, 2)
+                    rr["vs_ref_core"] = round(
+                        rr["Mproducts_per_s"] * 1e6 / REF_PRODUCTS_PER_S, 3)
+                print(json.dumps({"metric": name, "detail": rr}), flush=True)
+            except Exception as e:  # secondary benches must not kill line 1
+                print(json.dumps({"metric": name, "error": str(e)}),
+                      flush=True)
+
+    # ---- budgeted scale-22 headline LAST ----
+    remaining = args.budget - (time.perf_counter() - t_start)
+    metric = f"rmat_scale{args.scale}_A2_spgemm_products_per_s"
+    if remaining < 240:  # not even one slab + compile would land
+        print(json.dumps({
+            "metric": metric, "skipped": "budget",
+            "remaining_secs": round(remaining, 1),
+            "committed_log": "bench_logs/",
+        }), flush=True)
+        return
     ref_secs = {21: 51.3, 22: REF_SCALE22_SECS, 23: 224.3}.get(args.scale)
-    r = bench_spgemm22(args.scale, args.iters, args.max_flops_cap)
+    try:
+        deadline = t_start + args.budget
+        r = bench_spgemm22(args.scale, args.iters, args.max_flops_cap,
+                           deadline=deadline)
+    except Exception as e:
+        print(json.dumps({"metric": metric, "error": str(e)}), flush=True)
+        return
     line = {
-        "metric": f"rmat_scale{args.scale}_A2_spgemm_products_per_s",
+        "metric": metric,
         "value": round(r["products_per_s"] / 1e6, 2),
         "unit": "Mproducts/s",
         # products/s vs the reference's measured per-core rate at this
@@ -323,31 +428,9 @@ def main():
     }
     if ref_secs is not None:
         line["detail"]["ref_1core_secs"] = ref_secs
-        line["detail"]["time_ratio_vs_ref"] = round(ref_secs / r["secs"], 3)
+        line["detail"]["time_ratio_vs_ref"] = round(
+            ref_secs / r["est_full_secs"], 3)
     print(json.dumps(line), flush=True)
-
-    for name, fn, kw in (
-        ("rmat_scale14_A2_spgemm", bench_spgemm,
-         dict(scale=14, edgefactor=16, iters=args.iters,
-              max_flops_cap=args.max_flops_cap)),
-        ("rmat_scale16_A2_spgemm", bench_spgemm,
-         dict(scale=16, edgefactor=16, iters=args.iters,
-              max_flops_cap=args.max_flops_cap)),
-        ("spmm_gbps", bench_spmm, dict(scale=16, d=128, iters=args.iters)),
-        ("bfs_gteps", bench_bfs, dict(scale=14, iters=args.iters)),
-        ("spmsv", bench_spmsv, dict(scale=14, iters=args.iters)),
-        ("ewise_gteps", bench_ewise, dict(iters=args.iters)),
-    ):
-        try:
-            rr = fn(**kw)
-            if "products_per_s" in rr:
-                rr["Mproducts_per_s"] = round(rr.pop("products_per_s") / 1e6,
-                                              2)
-                rr["vs_ref_core"] = round(
-                    rr["Mproducts_per_s"] * 1e6 / REF_PRODUCTS_PER_S, 3)
-            print(json.dumps({"metric": name, "detail": rr}), flush=True)
-        except Exception as e:  # secondary benches must not kill line 1
-            print(json.dumps({"metric": name, "error": str(e)}), flush=True)
 
 
 if __name__ == "__main__":
