@@ -253,7 +253,8 @@ def dist_rand_permute(a, key):
 
 def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
              verbose: bool = False, preprocess: bool = False,
-             rng_key=None, use_kselect2: bool = False):
+             rng_key=None, use_kselect2: bool = False,
+             layers: int = 1, grid3=None):
     """Distributed HipMCL (``MCL.cpp:515`` with ``MemEfficientSpGEMM`` at
     ``:574``): the expansion runs as (optionally phased) SUMMA on the 2D mesh
     with the prune/select/recover hook applied INSIDE each phase (the point of
@@ -261,6 +262,15 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
     column ops, convergence via the distributed chaos metric, and Interpret as
     distributed FastSV.  ``preprocess=True`` runs RemoveIsolated + RandPermute
     (``MCL.cpp:477-497``) first and translates labels back.
+
+    ``layers > 1`` switches the expansion to the 3D path — the reference's
+    ``MCL.cpp:577`` layer switch to ``MemEfficientSpGEMM3D``: each iteration
+    redistributes A to the 3D grid (``grid3``; SpParMat3D ctor), runs
+    phased layer-local SUMMA + fiber reduction per column slab, converts
+    each slab product back to the 2D grid (``Convert2D``) and applies the
+    SAME per-phase prune/select/recover hook before accumulating.  The 2D<->
+    3D redistributions are host-paced, like the reference's MPI tuple
+    alltoallv.
 
     ``a``: DistSpMat on a square grid.  Returns (labels, iterations)."""
     import jax.numpy as jnp
@@ -305,13 +315,48 @@ def mcl_dist(a, params: Optional[MCLParams] = None, phases: int = 1,
     def prune_hook(c: DistSpMat) -> DistSpMat:
         return dist_mcl_prune(c, p, use_kselect2=use_kselect2)
 
+    if layers > 1:
+        assert grid3 is not None and grid3.is3d and grid3.layers == layers, \
+            "mcl_dist(layers>1) needs a 3D ProcGrid (grid3=)"
+
+        def expand(m: DistSpMat) -> DistSpMat:
+            from combblas_tpu.parallel.summa3d import (
+                Dist3DSpMat,
+                _col_slab3d,
+                summa3d_bounds,
+                summa3d_spgemm,
+            )
+
+            a3 = Dist3DSpMat.from_dist2d(m, grid3, "col")
+            b3 = Dist3DSpMat.from_dist2d(m, grid3, "row")
+            fc, oc = summa3d_bounds(a3, b3)
+            fc = max(fc // max(phases, 1), 1024)
+            oc = max(oc // max(phases, 1), 1024)
+            _, nb3 = b3.block_shape()
+            slab = -(-nb3 // phases)
+            acc = None
+            for ph in range(phases):
+                lo, hi = ph * slab, min((ph + 1) * slab, nb3)
+                if lo >= hi:
+                    break
+                bp = _col_slab3d(b3, lo, hi) if phases > 1 else b3
+                cp3 = summa3d_spgemm(a3, bp, flops_cap=fc, out_capacity=oc)
+                cp = prune_hook(cp3.to_dist2d(m.grid))
+                acc = cp if acc is None else dist_add(
+                    acc, cp, out_capacity=acc.capacity + cp.capacity)
+            return acc
+    else:
+        def expand(m: DistSpMat) -> DistSpMat:
+            return mem_efficient_spgemm(m, m, phases=phases,
+                                        phase_hook=prune_hook)
+
     a = col_stochastic(a)
     it = 0
     for it in range(1, p.max_iters + 1):
         # per-phase pruning: each phase's column slab is pruned before the
         # next phase runs, so peak memory is one pruned slab (the entire
         # reason MemEfficientSpGEMM phases — ParFriends.h:698).
-        a2 = mem_efficient_spgemm(a, a, phases=phases, phase_hook=prune_hook)
+        a2 = expand(a)
         a2 = dist_apply(a2, _pow_closure(p.inflation))
         a2 = col_stochastic(a2)
         ch = float(dist_chaos(a2))

@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -255,19 +256,38 @@ def dist_nnz_per_col(a: DistSpMat) -> jax.Array:
     )(a.row, a.col, a.val, a.nnz)
 
 
-@functools.partial(jax.jit, static_argnames=("k_cap",))
-def dist_kselect_col(a: DistSpMat, k: jax.Array,
-                     k_cap: int | None = None) -> jax.Array:
+def dist_kselect_col(a: DistSpMat, k, k_cap: int | None = None,
+                     full_gather: bool = False) -> jax.Array:
     """Per-column k-th largest value (1-indexed), -inf where fewer than k
     entries — Kselect1 (``SpParMat.cpp:1191``).
 
-    With ``k_cap`` (a static upper bound on k — MCL's select parameter),
-    each block first reduces every column to its LOCAL top-k_cap candidates
-    and only those are gathered along mesh axis 'r' — the reference's
-    ≤k-candidates-per-column shipping, O(pr * min(cap, nb*k_cap)) per device
-    instead of O(pr * cap).  Without it the full pruned blocks are gathered
-    (fine while MCL keeps matrices pruned).  k: scalar or col-space vector
-    (per-column k suppported).  Output col-space layout, replicated over
+    When ``k`` is a static Python int and no ``k_cap`` is given, ``k``
+    itself becomes the candidate cap — callers never silently fall into the
+    full-capacity gather.  The unbounded gather (O(pr * cap) per device) is
+    an explicit opt-in via ``full_gather=True`` (needed only when k is a
+    traced per-column vector with no static bound)."""
+    if k_cap is None and not full_gather:
+        if isinstance(k, (int, np.integer)):
+            k_cap = int(k)
+        else:
+            raise ValueError(
+                "dist_kselect_col: traced k needs a static k_cap (candidate "
+                "bound) or an explicit full_gather=True opt-in — the "
+                "unbounded path gathers full block capacity along 'r' "
+                "(round-1 memory hazard)")
+    return _dist_kselect_col(a, k, k_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def _dist_kselect_col(a: DistSpMat, k: jax.Array,
+                      k_cap: int | None = None) -> jax.Array:
+    """Kselect1 core.  With ``k_cap`` (a static upper bound on k — MCL's
+    select parameter), each block first reduces every column to its LOCAL
+    top-k_cap candidates and only those are gathered along mesh axis 'r' —
+    the reference's ≤k-candidates-per-column shipping,
+    O(pr * min(cap, nb*k_cap)) per device instead of O(pr * cap).  Without
+    it the full pruned blocks are gathered.  k: scalar or col-space vector
+    (per-column k supported).  Output col-space layout, replicated over
     'r'."""
     mb, nb = block_dims(a.gshape, a.grid)
     pr, pc = a.grid.pr, a.grid.pc
@@ -404,11 +424,14 @@ def dist_kselect2_col(a: DistSpMat, k: jax.Array) -> jax.Array:
     )(a.row, a.col, a.val, a.nnz, k)
 
 
-def dist_kselect_col_checked(a: DistSpMat, k) -> jax.Array:
+def dist_kselect_col_checked(a: DistSpMat, k,
+                             k_cap: int | None = None) -> jax.Array:
     """Run Kselect1 (candidate gather) and Kselect2 (bisection) and assert
     they agree — the reference's cross-validation wrappers
     (``SpParMat.cpp:1120,1160``)."""
-    v1 = dist_kselect_col(a, k)
+    if k_cap is None and not isinstance(k, (int, np.integer)):
+        k_cap = int(np.max(np.asarray(k)))  # static bound from concrete k
+    v1 = dist_kselect_col(a, k, k_cap=k_cap)
     v2 = dist_kselect2_col(a, k)
     a1, a2 = jnp.asarray(v1), jnp.asarray(v2)
     ok = jnp.all((a1 == a2) | (jnp.isneginf(a1) & jnp.isneginf(a2)))

@@ -51,6 +51,7 @@ def _bcast(x, axis: str, src_index):
 def _staged_local(
     ar, ac, av, an, br, bc, bv, bn,
     *, sr, stage_flops_cap, out_capacity, mb, nb, kb_a, kb_b, stages,
+    impl="xla", chunk_cap=0, interpret=False,
 ):
     cap_a = ar.reshape(-1).shape[0]
     cap_b = br.reshape(-1).shape[0]
@@ -80,12 +81,23 @@ def _staged_local(
         )
         rp = jnp.minimum(rp, pbn)
         a_valid = jnp.arange(cap_a, dtype=jnp.int32) < pan
-        i, j, v, total = expand_products(
-            par, pac, pav, a_valid, pbc, pbv, rp[:-1], rp[1:],
-            sr, stage_flops_cap, (mb, nb),
-        )
-        cs = sort_compress(i, j, v, total, (mb, nb), sr=sr,
-                           out_capacity=stage_flops_cap)
+        if impl == "xla":
+            i, j, v, total = expand_products(
+                par, pac, pav, a_valid, pbc, pbv, rp[:-1], rp[1:],
+                sr, stage_flops_cap, (mb, nb),
+            )
+            cs = sort_compress(i, j, v, total, (mb, nb), sr=sr,
+                               out_capacity=stage_flops_cap)
+        else:
+            from combblas_tpu.parallel.summa import _panel_multiply_pallas
+
+            cs = _panel_multiply_pallas(
+                par, pac, pav, a_valid, pbc, pbv, rp[:-1], rp[1:],
+                sr=sr, flops_cap=stage_flops_cap,
+                out_capacity=stage_flops_cap, mb=mb, nb=nb,
+                chunk_cap=chunk_cap, wide=(impl == "wide"),
+                interpret=interpret,
+            )
         # incremental merge into the accumulator
         mrow = jnp.concatenate([acc_row, cs.row])
         mcol = jnp.concatenate([acc_col, cs.col])
@@ -110,7 +122,8 @@ def _staged_local(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sr", "stage_flops_cap", "out_capacity")
+    jax.jit, static_argnames=("sr", "stage_flops_cap", "out_capacity",
+                              "impl", "chunk_cap", "interpret")
 )
 def summa_spgemm_staged(
     a: DistSpMat,
@@ -119,9 +132,15 @@ def summa_spgemm_staged(
     *,
     stage_flops_cap: int,
     out_capacity: int,
+    impl: str = "xla",
+    chunk_cap: int = 0,
+    interpret: bool = False,
 ) -> DistSpMat:
     """Stage-looped SUMMA with per-stage panel broadcasts and incremental
-    merge — bounded peak memory (``Mult_AnXBn_Synch`` semantics)."""
+    merge — bounded peak memory (``Mult_AnXBn_Synch`` semantics).
+    ``impl``/``chunk_cap`` select the per-stage local pipeline exactly as in
+    :func:`combblas_tpu.parallel.summa.summa_spgemm` (pick via
+    ``summa_impl_auto``/``summa_chunk_bound``)."""
     assert a.grid == b.grid and a.gshape[1] == b.gshape[0]
     grid = a.grid
     assert grid.pr == grid.pc, "SUMMA needs a square grid"
@@ -131,6 +150,7 @@ def summa_spgemm_staged(
         _staged_local,
         sr=sr, stage_flops_cap=stage_flops_cap, out_capacity=out_capacity,
         mb=mb, nb=nb, kb_a=kb_a, kb_b=kb_b, stages=grid.pc,
+        impl=impl, chunk_cap=chunk_cap, interpret=interpret,
     )
     crow, ccol, cval, cnnz = shard_map(
         fn,
@@ -155,25 +175,47 @@ def calculate_phases(
     return max(1, int(np.ceil(need / max(per_device_mem_bytes, 1.0))))
 
 
-def _col_slab(b: DistSpMat, lo: int, hi: int) -> DistSpMat:
-    """Mask B to block-local columns [lo, hi) — ``ColSplit``'s slab without
-    repacking (entries outside the slab become sentinels)."""
+@jax.jit
+def _col_slab_counts(b: DistSpMat, bounds: jax.Array) -> jax.Array:
+    """Per-(phase, block) slab entry counts for column-slab phasing:
+    counts[p, i, j] = nnz of block (i,j) with col in [bounds[p], bounds[p+1]).
+    One device pass; the host sizes each phase's physical slab from it."""
+    idx = jnp.arange(b.capacity, dtype=jnp.int32)[None, None, :]
+    valid = idx < b.nnz[..., None]
+    c = b.col[None]  # (1, pr, pc, cap)
+    lo = bounds[:-1][:, None, None, None]
+    hi = bounds[1:][:, None, None, None]
+    inside = valid[None] & (c >= lo) & (c < hi)
+    return jnp.sum(inside, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi", "slab_cap"))
+def _col_slab(b: DistSpMat, lo: int, hi: int,
+              slab_cap: int | None = None) -> DistSpMat:
+    """B's block-local columns [lo, hi), PHYSICALLY repacked to ``slab_cap``
+    entries per block — the reference's ``ColSplit`` (``ParFriends.h:553``)
+    splits storage, so each phase's panel broadcast moves ~1/phases of B,
+    not a full-capacity masked copy.  Without ``slab_cap`` the full capacity
+    is kept (sentinel masking only)."""
     import dataclasses
 
     mb, nb = block_dims(b.gshape, b.grid)
     inside = (b.col >= lo) & (b.col < hi)
-    # keep sorted order; recompute nnz by counting valid (entries are sorted by
-    # (row, col) within a block, so slab entries are not contiguous — masking
-    # with sentinels keeps correctness; expansion skips sentinel cols)
     cap = b.capacity
     idx = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
     valid = (idx < b.nnz[..., None]) & inside
     row = jnp.where(valid, b.row, mb)
     col = jnp.where(valid, b.col, nb)
     val = jnp.where(valid, b.val, 0)
-    # resort each block so valid entries form a prefix again
+    # resort each block so slab entries form a sorted prefix, then truncate
+    # the trailing all-sentinel tail to the static slab capacity
     row, col, val = jax.lax.sort((row, col, val), dimension=-1, num_keys=2)
     nnz = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    if slab_cap is not None and slab_cap < cap:
+        row = row[..., :slab_cap]
+        col = col[..., :slab_cap]
+        val = val[..., :slab_cap]
+        nnz = jnp.minimum(nnz, slab_cap)  # caller sized slab_cap >= counts
     return dataclasses.replace(b, row=row, col=col, val=val, nnz=nnz)
 
 
@@ -185,13 +227,17 @@ def mem_efficient_spgemm(
     per_device_mem_bytes: float = 2e9,
     phase_hook: Callable[[DistSpMat], DistSpMat] | None = None,
     out_capacity: int | None = None,
+    impl: str | None = None,
+    interpret: bool = False,
 ) -> DistSpMat:
     """Phased SpGEMM over column slabs of B (``MemEfficientSpGEMM``,
     ``ParFriends.h:450``).  ``phase_hook`` is applied to each phase's slab
     product before accumulation — MCL passes its prune/select/recover there
     (``MCLPruneRecoverySelect``, ``ParFriends.h:186``).  Host-driven phase
     loop; each phase is one jitted SUMMA."""
+    from combblas_tpu.ops.spgemm import round_capacity_frac
     from combblas_tpu.parallel.elementwise import dist_add
+    from combblas_tpu.parallel.summa import summa_chunk_bound, summa_impl_auto
 
     grid = a.grid
     mb, nb = block_dims(b.gshape, grid)
@@ -199,14 +245,25 @@ def mem_efficient_spgemm(
         phases = calculate_phases(a, b, per_device_mem_bytes)
     phases = min(phases, nb)
     slab = -(-nb // phases)
+    bounds = np.minimum(np.arange(phases + 1, dtype=np.int32) * slab, nb)
+    # one device pass sizes every phase's physical slab (ColSplit splits
+    # storage; a phase's panel gather must move ~1/phases of B's bytes)
+    counts = np.asarray(_col_slab_counts(b, jnp.asarray(bounds)))
+    if impl is None:
+        impl = summa_impl_auto(a, b)
     acc = None
     for p in range(phases):
-        lo, hi = p * slab, min((p + 1) * slab, nb)
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
         if lo >= hi:
             break
-        bp = _col_slab(b, lo, hi)
+        slab_cap = min(
+            round_capacity_frac(max(int(counts[p].max()), 8)), b.capacity)
+        bp = _col_slab(b, lo, hi, slab_cap)
         fc, oc = summa_bounds(a, bp)
-        cp = summa_spgemm(a, bp, sr, flops_cap=fc, out_capacity=oc)
+        chunk_cap = summa_chunk_bound(a, bp, fc) if impl != "xla" else 0
+        cp = summa_spgemm(a, bp, sr, flops_cap=fc, out_capacity=oc,
+                          impl=impl, chunk_cap=chunk_cap,
+                          interpret=interpret)
         if phase_hook is not None:
             cp = phase_hook(cp)
         acc = cp if acc is None else dist_add(

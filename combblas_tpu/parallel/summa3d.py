@@ -178,6 +178,20 @@ class Dist3DSpMat:
             (m, n), sum_duplicates=True,
         )
 
+    def to_dist2d(self, grid2: ProcGrid) -> "DistSpMat":
+        """3D -> 2D redistribution (``Convert2D``, ``SpParMat3D.cpp:441``):
+        gather the layer stacks and re-bucket onto the 2D grid's owners.
+        Host-paced, like the reference's tuple alltoallv through MPI."""
+        from combblas_tpu.parallel.dist import DistSpMat as D2
+
+        loc = self.to_local()
+        nnz = int(loc.nnz)
+        return D2.from_coo_arrays(
+            np.asarray(loc.row)[:nnz], np.asarray(loc.col)[:nnz],
+            np.asarray(loc.val)[:nnz], loc.shape, grid2,
+            dtype=np.asarray(loc.val).dtype,
+        )
+
 
 def _pad_np(x, cap, fill):
     pr, pc, c0 = x.shape

@@ -1,0 +1,151 @@
+"""Offline headline runs: SSCA R-MAT A² streamed SpGEMM at scale 18/21/22.
+
+Produces the committed measurement artifacts the driver-budgeted bench
+cannot (full unbudgeted runs + the digest cross-validation), as JSON lines
+with wall-clock stamps in ``bench_logs/``.
+
+Reference counterparts: ``ReleaseTests/SCALE21RMATRMAT/btwcent1.1256709.out``
+(51.3 s/iter, 1 Ranger core), ``SCALE22RMATRMAT/btwcent1.1254794.out``
+(109.1 s/iter).  Generator settings: ``3DSpGEMM/mpipspgemm.cpp:135-141``
+(initiator .6/.4-thirds, edgefactor 8).
+
+At scale 18 the streamed digest (nnz, checksum) is cross-validated against
+the independent materialized row-chunked pipeline — the check VERDICT r2
+asked for: the digest path is only trustworthy at scale 21/22 if it agrees
+with a materializing path where both run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+t_boot = time.time()
+
+
+def log(obj):
+    obj["t"] = round(time.time() - t_boot, 1)
+    print(json.dumps(obj), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", type=int, nargs="+", default=[18, 21, 22])
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.ops.spgemm import (
+        _pallas_slab_digest_step,
+        _pallas_slab_plan,
+        round_capacity_frac,
+        spgemm_flops,
+        spgemm_pallas_rowchunked,
+        stream_capacity,
+    )
+    from combblas_tpu.semiring import PLUS_TIMES
+
+    SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
+
+    for scale in args.scales:
+        t0 = time.time()
+        a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
+                        probs=SSCA)
+        nnz_a = int(a.nnz)
+        log({"ev": "gen", "scale": scale, "nnz_a": nnz_a,
+             "secs": round(time.time() - t0, 1)})
+        t0 = time.time()
+        flops = int(spgemm_flops(a, a))
+        num_slabs = max(-(-flops // args.max_flops_cap), 2)
+        bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
+            _pallas_slab_plan(a, a, num_slabs, wide=True)
+        num_slabs = len(bounds) - 1
+        slab_out_cap = max(
+            -(-round_capacity_frac(max(worst_fl, 2048)) // 128) * 128, 2048)
+        scap = stream_capacity(worst_fl)
+        bounds_dev = jnp.asarray(bounds)
+        log({"ev": "plan", "scale": scale, "flops": flops,
+             "slabs": num_slabs, "chunk_cap": int(chunk_cap),
+             "slab_out_cap": int(slab_out_cap),
+             "secs": round(time.time() - t0, 1)})
+
+        def step(s, state):
+            return _pallas_slab_digest_step(
+                a, a, bounds_dev, jnp.asarray(s, jnp.int32), *state,
+                PLUS_TIMES, span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
+                chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
+                stream_cap=scap, wide=True, interpret=False)
+
+        zero = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
+        t0 = time.time()
+        w = step(0, zero)
+        _ = int(w[0])
+        log({"ev": "warm", "scale": scale,
+             "secs": round(time.time() - t0, 1)})
+
+        best = None
+        for it in range(args.iters):
+            state = zero
+            t0 = time.time()
+            for s in range(num_slabs):
+                state = step(s, state)
+            _ = int(state[0])  # hard sync via scalar pull
+            dt = time.time() - t0
+            nnz_c = int(state[0]) + (int(state[1]) << 16)
+            rec = {"ev": "iter", "scale": scale, "iter": it,
+                   "secs": round(dt, 2), "nnz_c": nnz_c,
+                   "checksum": float(state[2]),
+                   "truncated": bool(state[3]),
+                   "products_per_s": round(flops / dt / 1e6, 2)}
+            log(rec)
+            if best is None or dt < best["secs"]:
+                best = rec
+        ref = {21: 51.3, 22: 109.1, 23: 224.3}.get(scale)
+        summary = {"ev": "summary", "scale": scale, "nnz_a": nnz_a,
+                   "flops": flops, "slabs": num_slabs,
+                   "best_secs": best["secs"], "nnz_c": best["nnz_c"],
+                   "checksum": best["checksum"],
+                   "truncated": best["truncated"],
+                   "Mproducts_per_s": best["products_per_s"]}
+        if ref is not None:
+            summary["ref_1core_secs"] = ref
+            summary["time_ratio_vs_ref"] = round(ref / best["secs"], 2)
+        log(summary)
+
+        if scale == 18:
+            # digest cross-validation vs the materialized row-chunked path
+            t0 = time.time()
+            m, n = a.shape
+            key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
+            mem_slabs = -(-flops // args.max_flops_cap)
+            wide = key_slabs > mem_slabs
+            nslabs = max(mem_slabs, 2) if wide else max(
+                key_slabs, mem_slabs, 2)
+            c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, wide=wide)
+            nnz_m = int(c.nnz)
+            v = np.asarray(c.val)[:nnz_m]
+            cks_m = float(np.sum(v, dtype=np.float64))
+            rel = abs(cks_m - best["checksum"]) / max(1.0, abs(cks_m))
+            log({"ev": "crossval", "scale": scale,
+                 "materialized_nnz": nnz_m, "streamed_nnz": best["nnz_c"],
+                 "nnz_match": nnz_m == best["nnz_c"],
+                 "materialized_checksum_f64": cks_m,
+                 "streamed_checksum_f32": best["checksum"],
+                 "checksum_rel_err": rel,
+                 "secs": round(time.time() - t0, 1)})
+
+
+if __name__ == "__main__":
+    main()

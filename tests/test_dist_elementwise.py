@@ -138,7 +138,8 @@ def test_dist_kselect_varying_k_and_kcap():
     kfull = np.zeros((ncols_pad,), np.int32)
     kfull[:12] = kv
     ref = np.asarray(kselect_col(SpCOO.from_dense(d), jnp.asarray(kv)))
-    th_nocap = np.asarray(dist_kselect_col(A, jnp.asarray(kfull)))
+    th_nocap = np.asarray(
+        dist_kselect_col(A, jnp.asarray(kfull), full_gather=True))
     np.testing.assert_allclose(th_nocap[:12], ref, rtol=1e-6)
     th_cap = np.asarray(dist_kselect_col(A, jnp.asarray(kfull), k_cap=8))
     np.testing.assert_allclose(th_cap[:12], ref, rtol=1e-6)

@@ -32,3 +32,21 @@ def test_mcl_dist_phased_matches():
     # same clustering structure regardless of phase count
     a1, a2 = np.asarray(l1)[:12], np.asarray(l2)[:12]
     assert (len(np.unique(a1)), len(np.unique(a2))) == (2, 2)
+
+
+def test_mcl_dist_3d_matches_2d():
+    """layers>1 routes the expansion through the 3D path (MCL.cpp:577 ->
+    MemEfficientSpGEMM3D) and must produce the same clustering."""
+    d = two_components(12) + np.eye(12, dtype=np.float32)
+    g2 = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    g3 = ProcGrid.make(2, 2, layers=2, devices=jax.devices()[:8])
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g2)
+    l2d, _ = mcl_dist(A, MCLParams(max_iters=20, add_self_loops=False))
+    l3d, _ = mcl_dist(A, MCLParams(max_iters=20, add_self_loops=False),
+                      phases=2, layers=2, grid3=g3)
+    a2, a3 = np.asarray(l2d)[:12], np.asarray(l3d)[:12]
+    assert len(np.unique(a3)) == 2
+    # identical partition (label values may differ)
+    for grp in np.unique(a2):
+        members = a3[a2 == grp]
+        assert len(np.unique(members)) == 1
