@@ -234,3 +234,40 @@ def test_md_order():
     # all leaves (degree 1) are eliminated before the hub reaches a tie —
     # the hub cannot appear among the first n-2 eliminations
     assert 0 not in order[: n - 2]
+
+
+def test_dist_restriction_galerkin():
+    """Distributed MIS-2 / RestrictionOp / Galerkin (RestrictionOp.h:118,197;
+    GalerkinNew.cpp:105-112) on the 8-device mesh, cross-checked against the
+    dense triple product of the SAME R."""
+    import jax
+    import jax.numpy as jnp
+    from combblas_tpu.models.multigrid import (
+        galerkin_dist,
+        mis2_dist,
+        mis2_verify_dist,
+        restriction_op_dist,
+    )
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+    from combblas_tpu.ops.coo import SpCOO
+    from tests.test_coo import rand_sparse
+
+    n = 24
+    d = rand_sparse(n, n, 0.15, seed=31)
+    d = ((d + d.T) > 0).astype(np.float32)
+    np.fill_diagonal(d, 0.0)
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g)
+
+    s = mis2_dist(A, jax.random.PRNGKey(3))
+    assert mis2_verify_dist(A, s)
+
+    R = restriction_op_dist(A, jax.random.PRNGKey(3))
+    rd = np.asarray(R.to_dense())
+    # every fine vertex attaches to exactly one coarse vertex
+    np.testing.assert_array_equal(rd.sum(axis=0), np.ones(n))
+    # attachment stays within distance <= 2 of the coarse seed
+    C = galerkin_dist(R, A)
+    cd = np.asarray(C.to_dense())
+    np.testing.assert_allclose(cd, rd @ d @ rd.T, rtol=1e-5, atol=1e-6)
