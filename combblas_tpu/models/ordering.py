@@ -95,7 +95,7 @@ def rcm_order_dist(a, start: int | None = None) -> np.ndarray:
     from combblas_tpu.parallel.vector import (
         dist_apply_perm,
         dist_route,
-        dist_sort,
+        dist_sort_auto,
     )
     from combblas_tpu.semiring import MIN_SECOND, PLUS_TIMES
 
@@ -148,7 +148,7 @@ def rcm_order_dist(a, start: int | None = None) -> np.ndarray:
             nmem = int(jnp.sum(members))
             # rank 1: stable by (degree, id) -> permutation r1
             degkey = jnp.where(members, deg.astype(jnp.float32), jnp.inf)
-            _, vid1 = dist_sort(degkey, grid, ids)
+            _, vid1 = dist_sort_auto(degkey, grid, ids)
             # arrange parent-order values in r1 order (position = r1 rank),
             # then sort by parent order with position tiebreak = stable
             rank1 = jnp.zeros((n_pad,), jnp.int32)
@@ -165,7 +165,8 @@ def rcm_order_dist(a, start: int | None = None) -> np.ndarray:
             # out-of-component slots got 0.0 from the perm scatter: re-mask
             pkey_arranged = jnp.where(vid_arranged < n_pad, pkey_arranged,
                                       jnp.inf)
-            _, vid2 = dist_sort(pkey_arranged, grid, vid_arranged)
+            _, vid2 = dist_sort_auto(pkey_arranged, grid,
+                                      vid_arranged)
             # final label: counter + position in sorted order
             newlab = jnp.zeros((n_pad,), jnp.int32)
             pos = jnp.arange(n_pad, dtype=jnp.int32) + counter

@@ -48,6 +48,7 @@ from combblas_tpu.parallel.grid import ProcGrid
 
 __all__ = [
     "dist_sort",
+    "dist_sort_auto",
     "dist_rand_perm",
     "dist_route",
     "dist_gather",
@@ -196,6 +197,196 @@ def dist_sort(
         )
         src = jnp.clip(src, 0, p - 1)
         return tuple(v[src, t] for v in r2v)
+
+    out = shard_map(
+        f,
+        mesh=grid.mesh,
+        in_specs=(vspec,) * (1 + len(payloads)),
+        out_specs=(vspec,) * (1 + len(payloads)),
+        check_vma=False,
+    )(x, *payloads)
+    return out if len(out) > 1 else out[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "length", "descending", "oversample")
+)
+def _sort_plan(x, grid: ProcGrid, length=None, descending=False,
+               oversample=32):
+    """Planning pass for :func:`dist_sort_auto`: per-device bucket send
+    counts (p, p) and per-device received totals (p,) under the same
+    splitters :func:`dist_sort` would pick — the symbolic pass that lets the
+    host size the exchange buffers to the ACTUAL max bucket (usort's
+    alltoallv counts, ``par::sampleSort``)."""
+    p = grid.nprocs
+    n_pad = x.shape[0]
+    chunk = n_pad // p
+    n = n_pad if length is None else length
+    axes = _axes(grid)
+
+    def f(x_loc):
+        me = jax.lax.axis_index(axes)
+        t = jnp.arange(chunk, dtype=jnp.int32)
+        gidx = me.astype(jnp.int32) * chunk + t
+        key = _sortable_u32(x_loc)
+        if descending:
+            key = ~key
+        key = jnp.where(gidx < n, key, jnp.uint32(0xFFFFFFFF))
+        key_s, gidx_s = jax.lax.sort((key, gidx), num_keys=2)
+        s = min(oversample, chunk)
+        samp_pos = (jnp.arange(s, dtype=jnp.int32) * chunk) // s
+        all_k = jax.lax.all_gather(key_s[samp_pos], axes, tiled=True)
+        all_i = jax.lax.all_gather(gidx_s[samp_pos], axes, tiled=True)
+        all_k, all_i = jax.lax.sort((all_k, all_i), num_keys=2)
+        spl_pos = (jnp.arange(1, p, dtype=jnp.int32) * (p * s)) // p
+        spl_k, spl_i = all_k[spl_pos], all_i[spl_pos]
+        ge = ~_lex_lt(
+            key_s[:, None], gidx_s[:, None], spl_k[None, :], spl_i[None, :]
+        )
+        dest = jnp.sum(ge.astype(jnp.int32), axis=1)
+        lens = jax.ops.segment_sum(
+            jnp.ones((chunk,), jnp.int32), dest, num_segments=p)
+        # received total = sum over sources of their count for me
+        recv = jax.lax.all_to_all(lens[:, None], axes, 0, 0).reshape(p)
+        return lens[None, :], jnp.sum(recv)[None]
+
+    lens, mine = shard_map(
+        f, mesh=grid.mesh, in_specs=(P(axes),),
+        out_specs=(P(axes, None), P(axes)),
+        check_vma=False,
+    )(x)
+    return lens, mine
+
+
+def dist_sort_auto(x, grid: ProcGrid, *payloads, length=None,
+                   descending=False, oversample=32):
+    """Scale-safe mesh sample sort: a planning pass sizes the bucket
+    exchange to the ACTUAL max per-pair count (VERDICT r2 item 8 — the
+    (p, chunk) = O(N)-per-device buffer of :func:`dist_sort` becomes
+    O(max_bucket)), and the rebalance runs as ppermute shifts over the
+    exact device-offset span instead of a full (p, chunk) all_to_all.
+    Host-driven (two jitted passes), so use it from host-paced callers;
+    jit-embedded callers keep :func:`dist_sort`'s static-safe bound."""
+    p = grid.nprocs
+    n_pad = x.shape[0]
+    chunk = n_pad // p
+    lens, mine = _sort_plan(x, grid, length=length, descending=descending,
+                            oversample=oversample)
+    lens = np.asarray(lens)
+    mine = np.asarray(mine)
+    bucket_cap = max(int(lens.max()), 1)
+    bucket_cap = min(-(-bucket_cap // 8) * 8, chunk)
+    # device-offset span of the rebalance: device d's sorted run covers
+    # global [pref[d], pref[d]+mine[d]) and must land on even chunks
+    pref = np.concatenate([[0], np.cumsum(mine)])[:-1]
+    d_lo = pref // max(chunk, 1) - np.arange(p)
+    d_hi = (np.maximum(pref + mine, pref + 1) - 1) // max(chunk, 1) \
+        - np.arange(p)
+    o_lo = int(min(d_lo.min(), 0))
+    o_hi = int(max(d_hi.max(), 0))
+    return _dist_sort_bounded(
+        x, grid, *payloads, length=length, descending=descending,
+        oversample=oversample, bucket_cap=bucket_cap, o_lo=o_lo, o_hi=o_hi,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "length", "descending", "oversample",
+                     "bucket_cap", "o_lo", "o_hi"),
+)
+def _dist_sort_bounded(
+    x, grid: ProcGrid, *payloads, length=None, descending=False,
+    oversample=32, bucket_cap: int, o_lo: int, o_hi: int,
+):
+    """Sample sort with host-sized exchange buffers (see
+    :func:`dist_sort_auto`).  ``bucket_cap``: max per-(src,dst) bucket
+    count; ``o_lo``/``o_hi``: rebalance device-offset span."""
+    p = grid.nprocs
+    n_pad = x.shape[0]
+    chunk = n_pad // p
+    n = n_pad if length is None else length
+    axes = _axes(grid)
+    vspec = P(axes)
+
+    def f(x_loc, *pl_loc):
+        me = jax.lax.axis_index(axes).astype(jnp.int32)
+        t = jnp.arange(chunk, dtype=jnp.int32)
+        t2 = jnp.arange(bucket_cap, dtype=jnp.int32)
+        gidx = me * chunk + t
+        key = _sortable_u32(x_loc)
+        if descending:
+            key = ~key
+        key = jnp.where(gidx < n, key, jnp.uint32(0xFFFFFFFF))
+        ops = jax.lax.sort((key, gidx, x_loc) + pl_loc, num_keys=2)
+        key_s, gidx_s = ops[0], ops[1]
+        carried = ops[2:]
+        s = min(oversample, chunk)
+        samp_pos = (jnp.arange(s, dtype=jnp.int32) * chunk) // s
+        all_k = jax.lax.all_gather(key_s[samp_pos], axes, tiled=True)
+        all_i = jax.lax.all_gather(gidx_s[samp_pos], axes, tiled=True)
+        all_k, all_i = jax.lax.sort((all_k, all_i), num_keys=2)
+        spl_pos = (jnp.arange(1, p, dtype=jnp.int32) * (p * s)) // p
+        spl_k, spl_i = all_k[spl_pos], all_i[spl_pos]
+        ge = ~_lex_lt(
+            key_s[:, None], gidx_s[:, None], spl_k[None, :], spl_i[None, :]
+        )
+        dest = jnp.sum(ge.astype(jnp.int32), axis=1)
+        starts = jnp.searchsorted(
+            dest, jnp.arange(p, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        ends = jnp.concatenate([starts[1:], jnp.full((1,), chunk, jnp.int32)])
+        lens = ends - starts
+        # bounded bucket exchange: (p, bucket_cap) instead of (p, chunk)
+        src_pos = jnp.minimum(starts[:, None] + t2[None, :], chunk - 1)
+        ok = t2[None, :] < lens[:, None]
+
+        def send_recv(arr, fill):
+            buf = jnp.where(ok, arr[src_pos], fill)
+            return jax.lax.all_to_all(buf, axes, 0, 0)
+
+        rk = send_recv(key_s, jnp.uint32(0xFFFFFFFF))
+        ri = send_recv(gidx_s, jnp.int32(-1))
+        rc = tuple(send_recv(c, jnp.zeros((), c.dtype)) for c in carried)
+        rlen = jax.lax.all_to_all(
+            jnp.broadcast_to(lens[:, None], (p, 1)), axes, 0, 0
+        ).reshape(p)
+        mine = jnp.sum(rlen)
+        rok = t2[None, :] < rlen[:, None]
+        rk = jnp.where(rok, rk, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        ri = jnp.where(rok, ri, jnp.int32(0x7FFFFFFF)).reshape(-1)
+        merged = jax.lax.sort(
+            (rk, ri) + tuple(c.reshape(-1) for c in rc), num_keys=2
+        )
+        mc = merged[2:]
+        # rebalance via ppermute shifts over [o_lo, o_hi]: my run owns
+        # global [pref, pref+mine); destination d takes its overlap.
+        counts = jax.lax.all_gather(mine, axes, tiled=False)
+        pref_all = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+        )
+        pref = pref_all[me]
+        outs = tuple(jnp.zeros((chunk,), c.dtype) for c in mc)
+        for o in range(o_lo, o_hi + 1):
+            d = me + o
+            g = jnp.clip(d, 0, p - 1) * chunk + t
+            li = jnp.clip(g - pref, 0, mc[0].shape[0] - 1)
+            valid = ((d >= 0) & (d < p)
+                     & (g >= pref) & (g < pref + mine))
+            perm = [(j, j + o) for j in range(p) if 0 <= j + o < p]
+            if not perm:
+                continue
+            flag = jax.lax.ppermute(valid, axes, perm)
+            bufs = tuple(
+                jax.lax.ppermute(
+                    jnp.where(valid, c[li], jnp.zeros((), c.dtype)),
+                    axes, perm)
+                for c in mc
+            )
+            outs = tuple(
+                jnp.where(flag, b, out) for out, b in zip(outs, bufs)
+            )
+        return outs
 
     out = shard_map(
         f,

@@ -133,7 +133,9 @@ def main():
             wide = key_slabs > mem_slabs
             nslabs = max(mem_slabs, 2) if wide else max(
                 key_slabs, mem_slabs, 2)
-            c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, wide=wide)
+            out_cap = round_capacity_frac(best["nnz_c"])
+            c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, wide=wide,
+                                         out_capacity=out_cap)
             nnz_m = int(c.nnz)
             v = np.asarray(c.val)[:nnz_m]
             cks_m = float(np.sum(v, dtype=np.float64))
