@@ -243,9 +243,11 @@ class DistVec:
         return -(-self.length // p) * p
 
     def put(self, x: np.ndarray) -> jax.Array:
+        from combblas_tpu.parallel.multihost import global_put
+
         xp = np.zeros(self.padded, x.dtype)
         xp[: self.length] = np.asarray(x)
-        return jax.device_put(xp, self.grid.vec_sharding())
+        return global_put(xp, self.grid.vec_sharding())
 
 
 def dist_vec(x, grid: ProcGrid) -> jax.Array:

@@ -8,8 +8,13 @@ TPU-native counterparts of ``Applications/BipartiteMatchings/``:
   proposals) + two owner routings (the alltoallv "Set" of mate vectors).
 - :func:`dist_bp_maximum` — maximum-cardinality matching
   (``BPMaximumMatching.cpp:207``): alternating-path BFS levels as distributed
-  frontier steps; augmentation walks parent pointers on the host (the
-  reference's augment is likewise a serial pointer walk per path).
+  frontier steps (O(levels) device syncs per phase — one liveness pull per
+  level, the reference's per-level MPI allreduce).  The parent/free vectors
+  are pulled to the host ONCE per phase, and the vertex-disjoint
+  augmentation walks run entirely on those host copies (pure numpy, zero
+  device round-trips), with one upload of the updated mate vectors per
+  phase — the reference's augment is likewise a serial pointer walk over
+  gathered vectors.
 - :func:`dist_awpm` — approximate-weight matching
   (``ApproxWeightPerfectMatching.h:792``): locally-dominant rounds (Preis /
   Manne–Bisseling) with the dominance handshake routed through vertex owners.

@@ -47,11 +47,16 @@ def initialize_multihost(
     process count.  No-op when single-process (nothing configured and no
     cluster env), or when already initialized — so library code can call it
     unconditionally."""
+    # IMPORTANT: do not touch jax.process_count()/jax.devices() before
+    # distributed.initialize — reading them initializes the local backend
+    # and initialize() then refuses ("must be called before any JAX
+    # computations").  Probe the coordination client state instead.
     try:
-        if jax.process_count() > 1:
-            return jax.process_count()  # already initialized
+        already = jax.distributed.global_state.client is not None
     except Exception:
-        pass
+        already = False
+    if already:
+        return jax.process_count()
     env_says_multi = any(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
@@ -60,14 +65,11 @@ def initialize_multihost(
     if coordinator_address is None and num_processes is None \
             and not env_says_multi:
         return 1  # single-process degenerate case
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        pass  # already initialized concurrently
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
     return jax.process_count()
 
 
