@@ -35,7 +35,8 @@ from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.parallel.summa import summa_bounds, summa_spgemm, summa_flops
 from combblas_tpu.semiring import PLUS_TIMES, Semiring
 
-__all__ = ["summa_spgemm_staged", "mem_efficient_spgemm", "calculate_phases"]
+__all__ = ["summa_spgemm_staged", "mem_efficient_spgemm",
+           "calculate_phases", "block_spgemm"]
 
 _SPEC = P("r", "c", None)
 _NSPEC = P("r", "c")
@@ -270,3 +271,81 @@ def mem_efficient_spgemm(
             acc, cp, out_capacity=out_capacity or (acc.capacity + cp.capacity)
         )
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi", "slab_cap"))
+def _row_slab(a: DistSpMat, lo: int, hi: int,
+              slab_cap: int | None = None) -> DistSpMat:
+    """A's block-local rows [lo, hi), physically repacked — the row-wise
+    twin of :func:`_col_slab` (``SpParMat::BlockSplit`` row direction,
+    ``SpParMat.cpp:2974``)."""
+    import dataclasses
+
+    mb, nb = block_dims(a.gshape, a.grid)
+    inside = (a.row >= lo) & (a.row < hi)
+    cap = a.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+    valid = (idx < a.nnz[..., None]) & inside
+    row = jnp.where(valid, a.row, mb)
+    col = jnp.where(valid, a.col, nb)
+    val = jnp.where(valid, a.val, 0)
+    row, col, val = jax.lax.sort((row, col, val), dimension=-1, num_keys=2)
+    nnz = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    if slab_cap is not None and slab_cap < cap:
+        row = row[..., :slab_cap]
+        col = col[..., :slab_cap]
+        val = val[..., :slab_cap]
+        nnz = jnp.minimum(nnz, slab_cap)
+    return dataclasses.replace(a, row=row, col=col, val=val, nnz=nnz)
+
+
+@jax.jit
+def _row_slab_counts(a: DistSpMat, bounds: jax.Array) -> jax.Array:
+    idx = jnp.arange(a.capacity, dtype=jnp.int32)[None, None, :]
+    valid = idx < a.nnz[..., None]
+    r = a.row[None]
+    lo = bounds[:-1][:, None, None, None]
+    hi = bounds[1:][:, None, None, None]
+    inside = valid[None] & (r >= lo) & (r < hi)
+    return jnp.sum(inside, axis=-1).astype(jnp.int32)
+
+
+def block_spgemm(a: DistSpMat, b: DistSpMat, br: int, bc: int,
+                 sr: Semiring = PLUS_TIMES):
+    """C-grid block iterator — ``BlockSpGEMM`` (``BlockSpGEMM.h:16``):
+    yields ``((i, j), C_ij)`` for the br x bc grid of C blocks, each the
+    product of A's i-th row strip with B's j-th column strip, computed one
+    at a time so only one C block is ever resident (the reference multiplies
+    each with ``Mult_AnXBn_DoubleBuff``; ours runs the auto SUMMA).
+
+    Strips are BLOCK-LOCAL ranges (each device splits its local block
+    br/bc ways), so a strip is the same 1/br (resp. 1/bc) share of every
+    device's rows — the same per-block partitioning ``BlockSplit`` performs,
+    expressed in the 2D-cyclic frame; C_ij rides the full grid with only
+    its strip populated, and the per-device row range is ``(i*rs,
+    min((i+1)*rs, mb))``."""
+    from combblas_tpu.ops.spgemm import round_capacity_frac
+    from combblas_tpu.parallel.summa import summa_spgemm_auto
+
+    mb, _ = block_dims(a.gshape, a.grid)
+    _, nb = block_dims(b.gshape, b.grid)
+    rs, cs = -(-mb // br), -(-nb // bc)
+    rbounds = np.minimum(np.arange(br + 1, dtype=np.int32) * rs, mb)
+    cbounds = np.minimum(np.arange(bc + 1, dtype=np.int32) * cs, nb)
+    rcounts = np.asarray(_row_slab_counts(a, jnp.asarray(rbounds)))
+    ccounts = np.asarray(_col_slab_counts(b, jnp.asarray(cbounds)))
+    for i in range(br):
+        rlo, rhi = int(rbounds[i]), int(rbounds[i + 1])
+        if rlo >= rhi:
+            continue
+        rcap = min(round_capacity_frac(max(int(rcounts[i].max()), 8)),
+                   a.capacity)
+        ap = _row_slab(a, rlo, rhi, rcap)
+        for j in range(bc):
+            clo, chi = int(cbounds[j]), int(cbounds[j + 1])
+            if clo >= chi:
+                continue
+            ccap = min(round_capacity_frac(max(int(ccounts[j].max()), 8)),
+                       b.capacity)
+            bp = _col_slab(b, clo, chi, ccap)
+            yield (i, j), summa_spgemm_auto(ap, bp, sr)

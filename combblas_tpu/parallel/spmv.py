@@ -33,7 +33,8 @@ from combblas_tpu.ops.coo import SpCOO
 from combblas_tpu.parallel.dist import DistSpMat, block_dims
 from combblas_tpu.semiring import MAX_FIRST, PLUS_TIMES, Semiring
 
-__all__ = ["dist_spmv", "dist_spmsv_masked", "dist_bfs_pull_masked"]
+__all__ = ["dist_spmv", "dist_spmsv_masked", "dist_bfs_pull_masked",
+           "est_nnz_spgemm_sampling"]
 
 
 def _axis_reduce(x, axis: str, sr: Semiring):
@@ -237,3 +238,39 @@ def dist_bfs_pull_masked(a: DistSpMat, front_mask: jax.Array,
         out_specs=(P(("c", "r")), P(("c", "r"))),
         check_vma=False,
     )(a.row, a.col, a.val, a.nnz, fm, uv)
+
+
+def est_nnz_spgemm_sampling(a: DistSpMat, b: DistSpMat, key,
+                            rounds: int = 16) -> float:
+    """Sampling-based estimate of nnz(A·B) — ``EstPerProcessNnzSpMV``
+    (``ParFriends.h:2810``): Cohen's min-propagation estimator.  Per round,
+    draw x[j] ~ Exp(1) over B's columns, min-propagate through B then A with
+    (min, select2nd) SpMVs (the reference's ``SelectMinxSR`` chains, done on
+    its transposes because its SpMV is xᵀA; ours multiplies from the right
+    so no transposes are needed):
+
+        m[k] = min over j with B[k,j] != 0 of x[j]
+        f[i] = min over k with A[i,k] != 0 of m[k]
+
+    nnz of C's row i is then ~ (R-1) / sum_r f_r[i]; the total is the sum
+    over rows (the reference's allreduce).  Cost: 2*R distributed SpMVs —
+    independent of the product size, the point of the estimator."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.semiring import MIN_SECOND
+
+    n = b.gshape[1]
+    acc = None
+    for r in range(rounds):
+        sub = jax.random.fold_in(key, r)
+        x = jax.random.exponential(sub, (n,), jnp.float32)
+        m = dist_spmv(b, x, MIN_SECOND)
+        m = jnp.where(jnp.isfinite(m), m, jnp.inf)
+        f = dist_spmv(a, m, MIN_SECOND)
+        f = jnp.where(jnp.isfinite(f), f, jnp.inf)
+        acc = f if acc is None else acc[: f.shape[0]] + f
+    m_rows = a.gshape[0]
+    acc = acc[:m_rows]
+    per_row = jnp.where(
+        jnp.isfinite(acc) & (acc > 0), (rounds - 1) / acc, 0.0)
+    return float(jnp.sum(per_row))

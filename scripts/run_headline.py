@@ -59,6 +59,30 @@ def main():
     SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
 
     for scale in args.scales:
+        try:
+            run_scale(scale, args)
+        except Exception as e:  # keep later scales alive
+            log({"ev": "error", "scale": scale,
+                 "err": f"{type(e).__name__}: {e}"})
+
+
+def run_scale(scale, args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.ops.spgemm import (
+        _pallas_slab_digest_step,
+        _pallas_slab_plan,
+        round_capacity_frac,
+        spgemm_flops,
+        spgemm_pallas_rowchunked,
+        stream_capacity,
+    )
+    from combblas_tpu.semiring import PLUS_TIMES
+
+    SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
+    if True:
         t0 = time.time()
         a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
                         probs=SSCA)

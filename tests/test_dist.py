@@ -109,3 +109,20 @@ def test_block_dims_tiling():
     mb, nb = block_dims((19, 23), g)
     assert mb % g.pc == 0 and nb % g.pr == 0
     assert mb * g.pr >= 19 and nb * g.pc >= 23
+
+
+def test_est_nnz_spgemm_sampling():
+    """Cohen sampling estimator (EstPerProcessNnzSpMV, ParFriends.h:2810):
+    within ~25% of the true product nnz at 64 rounds."""
+    import jax
+    from combblas_tpu.parallel.spmv import est_nnz_spgemm_sampling
+
+    rng = np.random.default_rng(11)
+    d1 = (rng.random((40, 40)) < 0.12).astype(np.float32)
+    d2 = (rng.random((40, 40)) < 0.12).astype(np.float32)
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    A = DistSpMat.from_local(SpCOO.from_dense(d1), g)
+    B = DistSpMat.from_local(SpCOO.from_dense(d2), g)
+    true_nnz = int((d1 @ d2 != 0).sum())
+    est = est_nnz_spgemm_sampling(A, B, jax.random.PRNGKey(0), rounds=64)
+    assert 0.75 * true_nnz <= est <= 1.33 * true_nnz, (est, true_nnz)

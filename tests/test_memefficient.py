@@ -137,3 +137,22 @@ def test_col_slab_physically_shrinks():
         bp = _col_slab(B, int(bounds[p]), int(bounds[p + 1]), cap)
         assert bp.capacity == cap < B.capacity
         assert int(bp.total_nnz()) == int(counts[p].sum())
+
+
+def test_block_spgemm_iterator():
+    """BlockSpGEMM parity (BlockSpGEMM.h:16): the br x bc C blocks sum to
+    the full product, and only one block is resident per step."""
+    from combblas_tpu.parallel.memefficient import block_spgemm
+
+    da = rand_sparse(16, 16, 0.3, seed=201)
+    db = rand_sparse(16, 16, 0.3, seed=202)
+    g = grid22()
+    A = DistSpMat.from_local(SpCOO.from_dense(da), g)
+    B = DistSpMat.from_local(SpCOO.from_dense(db), g)
+    acc = np.zeros((16, 16), np.float32)
+    seen = []
+    for (i, j), cij in block_spgemm(A, B, 2, 2):
+        seen.append((i, j))
+        acc += np.asarray(cij.to_dense())
+    assert seen == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    np.testing.assert_allclose(acc, da @ db, rtol=1e-5, atol=1e-6)
