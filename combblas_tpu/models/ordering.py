@@ -24,7 +24,7 @@ from combblas_tpu.ops.reduce import nnz_per
 from combblas_tpu.models.bfs import bfs_local
 
 __all__ = ["pseudo_peripheral_vertex", "rcm_order", "rcm_order_dist",
-           "md_order"]
+           "md_order", "md_order_dist"]
 
 
 def pseudo_peripheral_vertex(a: SpCOO, start: int = 0, max_rounds: int = 8):
@@ -243,3 +243,100 @@ def _cm_order_component(a: SpCOO, parents, levels, degn) -> np.ndarray:
         counter += order.size
         out.append(order)
     return np.concatenate(out)
+
+
+def md_order_dist(a) -> jax.Array:
+    """Distributed minimum-degree ordering — ``Applications/Ordering/MD.cpp``
+    (main loop ``:290-346``): per step, pick the global min-degree vertex
+    (the reference's ``degrees.MinElement()`` allreduce), mark it eliminated,
+    compute its reach set by a distributed BFS that traverses only
+    eliminated vertices (``getReach``), and recompute the reach vertices'
+    quotient-graph degrees with ONE multi-source BFS whose frontier is a
+    dense n x k 0/1 matrix pushed through ``dist_spmm`` —
+    ``getReachesSPMM``'s n x k SpGEMM frontier, MXU-shaped (dense frontier
+    beats a sparse one on TPU for the k-source sweep).  Host-paced n-step
+    loop, like the reference's.
+
+    ``a``: symmetric DistSpMat (no self-loop requirement).  Ties break by
+    vertex id, matching :func:`md_order` — the orders are identical."""
+    import jax.numpy as jnp
+
+    from combblas_tpu.parallel.dense import dist_spmm
+    from combblas_tpu.parallel.elementwise import dist_reduce
+    from combblas_tpu.parallel.spmv import dist_spmv
+    from combblas_tpu.semiring import PLUS_TIMES
+
+    n = a.gshape[0]
+
+    @jax.jit
+    def neighbor_mask(mask):
+        """Bool (n_pad,) -> neighbors of any masked vertex (pattern SpMV)."""
+        y = dist_spmv(a, mask.astype(jnp.float32), PLUS_TIMES)
+        return y > 0
+
+    @jax.jit
+    def spmm_step(x, en_col):
+        """One multi-source frontier hop restricted to eliminated vertices
+        on the propagation side: Y = pattern(A) · X, X (n_pad, k)."""
+        y = dist_spmm(a, x, PLUS_TIMES)
+        return (y > 0).astype(jnp.float32) * 1.0
+
+    # external degree = off-diagonal entries per row (pattern count)
+    ones = dist_reduce(a, "row", premap=lambda v: (v != 0).astype(v.dtype))
+    deg = np.asarray(ones)[:n].astype(np.int64)
+    # subtract self-loops if present
+    loc = a.to_local()
+    nnzl = int(loc.nnz)
+    rr = np.asarray(loc.row)[:nnzl]
+    cc = np.asarray(loc.col)[:nnzl]
+    deg -= np.bincount(rr[rr == cc], minlength=n)[:n]
+
+    enodes = np.zeros(n, bool)
+    order = []
+    n_pad = None
+    for _ in range(n):
+        live_deg = np.where(enodes, n + 1, deg)
+        s = int(np.argmin(live_deg))
+        order.append(s)
+        enodes[s] = True
+
+        # --- getReach(s): BFS from s through eliminated vertices only ----
+        en_d = jnp.asarray(enodes)
+        f = np.zeros(n, bool)
+        f[s] = True
+        visited = f.copy()
+        reach = np.zeros(n, bool)
+        while f.any():
+            nb = np.asarray(neighbor_mask(jnp.asarray(f)))[:n]
+            nb = nb & ~visited
+            if not nb.any():
+                break
+            visited |= nb
+            reach |= nb & ~enodes
+            f = nb & enodes  # keep traversing through enodes only
+        srcs = np.nonzero(reach)[0]
+        if srcs.size == 0:
+            continue
+
+        # --- getReachesSPMM: k-source BFS with a dense frontier ----------
+        k = int(srcs.size)
+        k_pad = max(8, 1 << int(np.ceil(np.log2(k))))
+        X = np.zeros((n, k_pad), np.float32)
+        X[srcs, np.arange(k)] = 1.0
+        Xd = jnp.asarray(X)
+        Vis = Xd
+        while True:
+            Y = spmm_step(Xd, en_d)[:n]
+            Y = jnp.where(Vis[: Y.shape[0]] > 0, 0.0, Y)
+            if not bool(jnp.any(Y > 0)):
+                break
+            Vis = jnp.maximum(Vis[: Y.shape[0]], Y)
+            Xd = Y * en_d[: Y.shape[0], None]  # continue through enodes
+            if not bool(jnp.any(Xd > 0)):
+                break
+        nen = ~enodes
+        newdeg = np.asarray(
+            jnp.sum(Vis[:n] * jnp.asarray(nen, jnp.float32)[:, None], axis=0)
+        )[:k] - 1  # exclude the source itself
+        deg[srcs] = newdeg.astype(np.int64)
+    return jnp.asarray(np.asarray(order, np.int32))

@@ -62,3 +62,24 @@ def test_rcm_dist_disconnected():
     A = DistSpMat.from_local(SpCOO.from_dense(d), ProcGrid.make())
     o = rcm_order_dist(A)
     np.testing.assert_array_equal(np.sort(o), np.arange(n))
+
+
+def test_md_order_dist_matches_local():
+    """Distributed MD (MD.cpp:290) == the local quotient-graph MD, ties by
+    vertex id."""
+    import jax
+    from combblas_tpu.models.ordering import md_order, md_order_dist
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+    from combblas_tpu.ops.coo import SpCOO
+    from tests.test_coo import rand_sparse
+
+    n = 18
+    d = rand_sparse(n, n, 0.18, seed=9)
+    d = ((d + d.T) > 0).astype(np.float32)
+    np.fill_diagonal(d, 0.0)
+    g = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    A = DistSpMat.from_local(SpCOO.from_dense(d), g)
+    o_local = np.asarray(md_order(SpCOO.from_dense(d)))
+    o_dist = np.asarray(md_order_dist(A))
+    np.testing.assert_array_equal(o_dist, o_local)
