@@ -130,6 +130,22 @@ def cmd_spgemm(args):
         _save(args.output, c)
 
 
+def cmd_galerkin(args):
+    """Galerkin coarse-operator driver (``ReleaseTests/GalerkinNew.cpp:105``):
+    MIS-2 restriction R then R·A·Rᵀ."""
+    import jax
+    from combblas_tpu.models.multigrid import galerkin, restriction_op
+
+    a = _load(args.matrix)
+    t0 = time.perf_counter()
+    r = restriction_op(a, jax.random.PRNGKey(args.seed))
+    c = galerkin(r, a)
+    print(f"galerkin: coarse {c.shape} nnz {int(c.nnz)} "
+          f"(R {r.shape}) in {time.perf_counter() - t0:.3f}s")
+    if args.output:
+        _save(args.output, c)
+
+
 def cmd_gen(args):
     import jax
     from combblas_tpu.gen.rmat import rmat_matrix
@@ -294,6 +310,11 @@ def main(argv=None):
 
     p = sub.add_parser("rcm"); p.add_argument("matrix")
     p.set_defaults(fn=cmd_rcm)
+
+    p = sub.add_parser("galerkin"); p.add_argument("matrix")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output")
+    p.set_defaults(fn=cmd_galerkin)
 
     args = ap.parse_args(argv)
     args.fn(args)
