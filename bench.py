@@ -103,9 +103,12 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     slab_stream_cap = stream_capacity(worst_fl)
     bounds_dev = jnp.asarray(bounds)
 
+    a_rp = a.row_ptr()  # slab-invariant B-side row map, computed once
+
     def step(s, state):
         return _pallas_slab_digest_step(
-            a, a, bounds_dev, jnp.asarray(s, jnp.int32), *state, PLUS_TIMES,
+            a, a, a_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state,
+            PLUS_TIMES,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, wide=True, interpret=False,

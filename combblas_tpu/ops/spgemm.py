@@ -472,6 +472,7 @@ def spgemm_pallas(
     out_capacity: int,
     stream_cap: int | None = None,
     interpret: bool = False,
+    b_rp: jax.Array | None = None,
 ) -> SpCOO:
     """ESC SpGEMM with the Pallas segment-DMA expansion kernel
     (:mod:`combblas_tpu.ops.pallas.expand_kernel`) — the TPU-native
@@ -497,7 +498,8 @@ def spgemm_pallas(
     assert k == k2, (a.shape, b.shape)
     stride = n + 1
     assert (m + 1) * stride < (1 << 31), (m, n)
-    b_rp = b.row_ptr()
+    if b_rp is None:
+        b_rp = b.row_ptr()
     meta, metaf, _, _flops = build_chunk_meta(
         a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], stride, chunk_cap
     )
@@ -538,6 +540,7 @@ def spgemm_pallas_wide(
     out_capacity: int,
     stream_cap: int,
     interpret: bool = False,
+    b_rp: jax.Array | None = None,
 ) -> SpCOO:
     """Wide-key Pallas ESC SpGEMM: row and column ride as separate int32
     streams (``lax.sort(..., num_keys=2)``) so there is NO packed-key range
@@ -557,7 +560,8 @@ def spgemm_pallas_wide(
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
-    b_rp = b.row_ptr()
+    if b_rp is None:
+        b_rp = b.row_ptr()
     # stride=0: the kernel's key stream is the raw B column ids; rows ride
     # meta col 4
     meta, metaf, _, _flops = build_chunk_meta(
@@ -689,11 +693,18 @@ def _slab_extract(a: SpCOO, k: int, bounds, s, *, span_cap: int,
                   slab_nnz_cap: int):
     """A's nnz window for rows [bounds[s], bounds[s+1]), rows rebased
     slab-local.  Returns (sub SpCOO with shape (span_cap, k), row_lo)."""
-    a_rp = a.row_ptr()
     row_lo = bounds[s]
     row_hi = bounds[s + 1]
-    lo = a_rp[row_lo]
-    hi = a_rp[row_hi]
+    # two scalar binary searches -- NOT the full m+1 row_ptr map, whose
+    # searchsorted over the whole nnz array was a per-slab O(m log nnz)
+    # tax (44 slabs x 2M rows at scale 21); pads carry row == m >= row_hi
+    # so the sorted invariant covers them
+    lohi = jnp.minimum(
+        jnp.searchsorted(a.row, jnp.stack([row_lo, row_hi])).astype(
+            jnp.int32),
+        a.nnz)
+    lo = lohi[0]
+    hi = lohi[1]
     t = jnp.arange(slab_nnz_cap, dtype=jnp.int32)
     src = jnp.minimum(lo + t, a.capacity - 1)
     sel = t < (hi - lo)
@@ -718,6 +729,7 @@ def _slab_extract(a: SpCOO, k: int, bounds, s, *, span_cap: int,
 def _pallas_slab_step(
     a: SpCOO,
     b: SpCOO,
+    b_rp,
     bounds,
     s,
     dst_row,
@@ -753,11 +765,12 @@ def _pallas_slab_step(
     if wide:
         c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
                                out_capacity=slab_out_cap,
-                               stream_cap=stream_cap, interpret=interpret)
+                               stream_cap=stream_cap, interpret=interpret,
+                               b_rp=b_rp)
     else:
         c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
                           out_capacity=slab_out_cap, stream_cap=stream_cap,
-                          interpret=interpret)
+                          interpret=interpret, b_rp=b_rp)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
     grow = jnp.where(live, c.row + row_lo, m)
     gcol = jnp.where(live, c.col, n)
@@ -815,9 +828,10 @@ def spgemm_pallas_rowchunked(
         jnp.asarray(False),
     )
     bounds_dev = jnp.asarray(bounds)
+    b_rp = b.row_ptr()  # slab-invariant: computed once, not per step
     for s in range(num_slabs):
         state = _pallas_slab_step(
-            a, b, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            a, b, b_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, out_capacity=out_capacity,
@@ -838,6 +852,7 @@ def spgemm_pallas_rowchunked(
 def _pallas_slab_digest_step(
     a: SpCOO,
     b: SpCOO,
+    b_rp,
     bounds,
     s,
     total_lo,
@@ -865,11 +880,12 @@ def _pallas_slab_digest_step(
     if wide:
         c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
                                out_capacity=slab_out_cap,
-                               stream_cap=stream_cap, interpret=interpret)
+                               stream_cap=stream_cap, interpret=interpret,
+                               b_rp=b_rp)
     else:
         c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
                           out_capacity=slab_out_cap, stream_cap=stream_cap,
-                          interpret=interpret)
+                          interpret=interpret, b_rp=b_rp)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
     cs = jnp.sum(jnp.where(live, c.val.astype(jnp.float32), 0.0))
     return (total_lo + (c.nnz & 0xFFFF), total_hi + (c.nnz >> 16),
@@ -913,9 +929,10 @@ def spgemm_pallas_streamed(
         jnp.asarray(False),
     )
     bounds_dev = jnp.asarray(bounds)
+    b_rp = b.row_ptr()  # slab-invariant: computed once, not per step
     for s in range(num_slabs):
         state = _pallas_slab_digest_step(
-            a, b, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            a, b, b_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, wide=wide, interpret=interpret,

@@ -104,9 +104,11 @@ def run_scale(scale, args):
              "slab_out_cap": int(slab_out_cap),
              "secs": round(time.time() - t0, 1)})
 
+        a_rp = a.row_ptr()  # slab-invariant B-side row map, computed once
+
         def step(s, state):
             return _pallas_slab_digest_step(
-                a, a, bounds_dev, jnp.asarray(s, jnp.int32), *state,
+                a, a, a_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state,
                 PLUS_TIMES, span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
                 chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
                 stream_cap=scap, wide=True, interpret=False)
