@@ -85,6 +85,7 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     from combblas_tpu.ops.spgemm import (
         _pallas_slab_digest_step,
         _pallas_slab_plan,
+        _tables_2d,
         round_capacity_frac,
         spgemm_flops,
         stream_capacity,
@@ -104,11 +105,12 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     bounds_dev = jnp.asarray(bounds)
 
     a_rp = a.row_ptr()  # slab-invariant B-side row map, computed once
+    a_tables = _tables_2d(a)
 
     def step(s, state):
         return _pallas_slab_digest_step(
-            a, a, a_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state,
-            PLUS_TIMES,
+            a, a, a_rp, a_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+            *state, PLUS_TIMES,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, wide=True, interpret=False,

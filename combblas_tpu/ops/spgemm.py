@@ -473,6 +473,7 @@ def spgemm_pallas(
     stream_cap: int | None = None,
     interpret: bool = False,
     b_rp: jax.Array | None = None,
+    b_tables=None,
 ) -> SpCOO:
     """ESC SpGEMM with the Pallas segment-DMA expansion kernel
     (:mod:`combblas_tpu.ops.pallas.expand_kernel`) — the TPU-native
@@ -503,7 +504,7 @@ def spgemm_pallas(
     meta, metaf, _, _flops = build_chunk_meta(
         a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], stride, chunk_cap
     )
-    bc2, bv2 = _tables_2d(b)
+    bc2, bv2 = b_tables if b_tables is not None else _tables_2d(b)
     if stream_cap is not None:
         key, val, _total = expand_chunks_compact(
             meta, metaf, bc2, bv2, sr, stream_cap=stream_cap,
@@ -541,6 +542,7 @@ def spgemm_pallas_wide(
     stream_cap: int,
     interpret: bool = False,
     b_rp: jax.Array | None = None,
+    b_tables=None,
 ) -> SpCOO:
     """Wide-key Pallas ESC SpGEMM: row and column ride as separate int32
     streams (``lax.sort(..., num_keys=2)``) so there is NO packed-key range
@@ -567,7 +569,7 @@ def spgemm_pallas_wide(
     meta, metaf, _, _flops = build_chunk_meta(
         a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], 0, chunk_cap
     )
-    bc2, bv2 = _tables_2d(b)
+    bc2, bv2 = b_tables if b_tables is not None else _tables_2d(b)
     hi, lo, val, _total = expand_chunks_compact_wide(
         meta, metaf, bc2, bv2, sr, stream_cap=stream_cap, interpret=interpret
     )
@@ -730,6 +732,7 @@ def _pallas_slab_step(
     a: SpCOO,
     b: SpCOO,
     b_rp,
+    b_tables,
     bounds,
     s,
     dst_row,
@@ -766,11 +769,11 @@ def _pallas_slab_step(
         c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
                                out_capacity=slab_out_cap,
                                stream_cap=stream_cap, interpret=interpret,
-                               b_rp=b_rp)
+                               b_rp=b_rp, b_tables=b_tables)
     else:
         c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
                           out_capacity=slab_out_cap, stream_cap=stream_cap,
-                          interpret=interpret, b_rp=b_rp)
+                          interpret=interpret, b_rp=b_rp, b_tables=b_tables)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
     grow = jnp.where(live, c.row + row_lo, m)
     gcol = jnp.where(live, c.col, n)
@@ -829,9 +832,11 @@ def spgemm_pallas_rowchunked(
     )
     bounds_dev = jnp.asarray(bounds)
     b_rp = b.row_ptr()  # slab-invariant: computed once, not per step
+    b_tables = _tables_2d(b)
     for s in range(num_slabs):
         state = _pallas_slab_step(
-            a, b, b_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            a, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+            *state, sr,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, out_capacity=out_capacity,
@@ -853,6 +858,7 @@ def _pallas_slab_digest_step(
     a: SpCOO,
     b: SpCOO,
     b_rp,
+    b_tables,
     bounds,
     s,
     total_lo,
@@ -881,11 +887,11 @@ def _pallas_slab_digest_step(
         c = spgemm_pallas_wide(sub, b, sr, chunk_cap=chunk_cap,
                                out_capacity=slab_out_cap,
                                stream_cap=stream_cap, interpret=interpret,
-                               b_rp=b_rp)
+                               b_rp=b_rp, b_tables=b_tables)
     else:
         c = spgemm_pallas(sub, b, sr, chunk_cap=chunk_cap,
                           out_capacity=slab_out_cap, stream_cap=stream_cap,
-                          interpret=interpret, b_rp=b_rp)
+                          interpret=interpret, b_rp=b_rp, b_tables=b_tables)
     live = jnp.arange(c.capacity, dtype=jnp.int32) < c.nnz
     cs = jnp.sum(jnp.where(live, c.val.astype(jnp.float32), 0.0))
     return (total_lo + (c.nnz & 0xFFFF), total_hi + (c.nnz >> 16),
@@ -930,9 +936,11 @@ def spgemm_pallas_streamed(
     )
     bounds_dev = jnp.asarray(bounds)
     b_rp = b.row_ptr()  # slab-invariant: computed once, not per step
+    b_tables = _tables_2d(b)
     for s in range(num_slabs):
         state = _pallas_slab_digest_step(
-            a, b, b_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state, sr,
+            a, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+            *state, sr,
             span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
             chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
             stream_cap=slab_stream_cap, wide=wide, interpret=interpret,

@@ -49,6 +49,7 @@ def main():
     from combblas_tpu.ops.spgemm import (
         _pallas_slab_digest_step,
         _pallas_slab_plan,
+        _tables_2d,
         round_capacity_frac,
         spgemm_flops,
         spgemm_pallas_rowchunked,
@@ -74,6 +75,7 @@ def run_scale(scale, args):
     from combblas_tpu.ops.spgemm import (
         _pallas_slab_digest_step,
         _pallas_slab_plan,
+        _tables_2d,
         round_capacity_frac,
         spgemm_flops,
         spgemm_pallas_rowchunked,
@@ -105,10 +107,12 @@ def run_scale(scale, args):
              "secs": round(time.time() - t0, 1)})
 
         a_rp = a.row_ptr()  # slab-invariant B-side row map, computed once
+        a_tables = _tables_2d(a)
 
         def step(s, state):
             return _pallas_slab_digest_step(
-                a, a, a_rp, bounds_dev, jnp.asarray(s, jnp.int32), *state,
+                a, a, a_rp, a_tables, bounds_dev,
+                jnp.asarray(s, jnp.int32), *state,
                 PLUS_TIMES, span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
                 chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
                 stream_cap=scap, wide=True, interpret=False)
