@@ -60,16 +60,23 @@ def main():
         b_rp = a.row_ptr()
         bc2, bv2 = _tables_2d(a)
 
-        meta_fn = jax.jit(lambda: build_chunk_meta(
-            a.row, a.col, a.val, a.mask(), b_rp[:-1], b_rp[1:], stride,
-            chunk_cap))
+        # NOTE: big arrays must ride as ARGUMENTS, not closures — a closed-
+        # over device array is baked into the HLO as a literal and the
+        # remote compile service rejects the multi-hundred-MB request body
+        # (HTTP 413).
+        meta_jit = jax.jit(lambda ar, ac, av, am, lob, hib: build_chunk_meta(
+            ar, ac, av, am, lob, hib, stride, chunk_cap))
+        meta_fn = lambda: meta_jit(a.row, a.col, a.val, a.mask(),
+                                   b_rp[:-1], b_rp[1:])
         meta, metaf, _, _ = meta_fn()
 
-        exp_fn = jax.jit(lambda: expand_chunks_compact(
-            meta, metaf, bc2, bv2, PLUS_TIMES, stream_cap=scap))
+        exp_jit = jax.jit(lambda meta, metaf, bc, bv: expand_chunks_compact(
+            meta, metaf, bc, bv, PLUS_TIMES, stream_cap=scap))
+        exp_fn = lambda: exp_jit(meta, metaf, bc2, bv2)
         key, val, _tot = exp_fn()
 
-        sort_fn = jax.jit(lambda: jax.lax.sort((key, val), num_keys=1))
+        sort_jit = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
+        sort_fn = lambda: sort_jit(key, val)
         skey, sval = sort_fn()
 
         # tight output from one full run
@@ -78,8 +85,9 @@ def main():
                           stream_cap=scap)
         tight = round_capacity_frac(int(c.nnz))
         out_cap = max(-(-tight // 128) * 128, 2048)
-        comp_fn = jax.jit(lambda: compress_sorted_packed_pallas(
-            skey, sval, PLUS_TIMES, out_capacity=out_cap))
+        comp_jit = jax.jit(lambda k, v: compress_sorted_packed_pallas(
+            k, v, PLUS_TIMES, out_capacity=out_cap))
+        comp_fn = lambda: comp_jit(skey, sval)
 
         full_fn = lambda: spgemm_pallas(
             a, a, chunk_cap=chunk_cap, out_capacity=tight, stream_cap=scap)
@@ -117,16 +125,18 @@ def main():
     key = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, 1 << 28,
                              dtype=jnp.int32)
     val = jax.random.uniform(jax.random.PRNGKey(1), (N,), jnp.float32)
-    flat_fn = jax.jit(lambda: jax.lax.sort((key, val), num_keys=1))
-    t_flat = timeit(flat_fn, lambda o: float(jnp.sum(o[1][:1000])), iters=3)
+    flat_jit = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
+    t_flat = timeit(lambda: flat_jit(key, val),
+                    lambda o: float(jnp.sum(o[1][:1000])), iters=3)
     out = {"experiment": "batched_sort", "n": N,
            "flat_ms": round(t_flat * 1e3, 1)}
+    b_jit = jax.jit(lambda k2, v2: jax.lax.sort(
+        (k2, v2), dimension=1, num_keys=1))
     for S in (8, 64, 512):
         k2 = key.reshape(S, N // S)
         v2 = val.reshape(S, N // S)
-        b_fn = jax.jit(lambda k2=k2, v2=v2: jax.lax.sort(
-            (k2, v2), dimension=1, num_keys=1))
-        t_b = timeit(b_fn, lambda o: float(jnp.sum(o[1][:, :10])), iters=3)
+        t_b = timeit(lambda: b_jit(k2, v2),
+                     lambda o: float(jnp.sum(o[1][:, :10])), iters=3)
         out[f"batched_{S}_ms"] = round(t_b * 1e3, 1)
     print(json.dumps(out), flush=True)
 
