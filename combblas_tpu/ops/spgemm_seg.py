@@ -1,0 +1,289 @@
+"""Segmented (row-classed) ESC SpGEMM — the sort-bottleneck attack.
+
+The Pallas expansion stream is emitted in A-entry order, which for a
+row-sorted A means the product stream is ALREADY grouped by output row;
+only the within-row order (B column ids) is unsorted.  The flat pipeline
+(`ops/spgemm.py:spgemm_pallas_wide`) ignores this and re-sorts the whole
+slab with a dual-int32-key sort — depth log^2(slab) ~= 729 compare
+substages at slab = 2^27 — to recover an order that is 90 % already there.
+
+This module sorts only WITHIN output rows:
+
+  - each output row becomes one padded window of a power-of-two size class
+    (class of a row with f products = floor_log2(f)+1, min 128 lanes, so a
+    window is never exactly full and always ends with >= 1 sentinel);
+  - windows of one class form a (S_c, 2^c) batch sorted along dim 1 with a
+    SINGLE int32 key (the B column id) — measured mass-weighted depth on
+    SSCA R-MAT is ~215 vs 729, with 2 sorted streams instead of 3;
+  - window padding costs <= 2x on the heavy classes and ~2 % of total
+    products on the tiny-row classes (97 % of R-MAT product mass sits in
+    rows of 2^11..2^20 products — measured in scripts/probe_sort.py's
+    companion distribution probe);
+  - the concatenated class buffers feed the single-key compress kernel
+    directly: within a window all duplicates are adjacent after the sort,
+    across windows the guaranteed trailing sentinel separates runs, and
+    the compress kernel drops sentinel keys wherever they appear.
+
+Row identity never rides the stream: the expansion runs the NARROW
+compacted kernel with stride=0 (key base = row*0 = 0), so the key stream
+IS the raw B column id — one int32 stream fewer than the wide path in
+expand, sort, and compress.
+
+Reference counterpart: the per-column hash/heap accumulation of
+``mtSpGEMM.h:214`` does O(flops) work with small constants; this gets the
+sort formulation's constant down by the measured 2.5-4x while keeping the
+all-duplicates-merged semantics (``MultiwayMerge.h:537``)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from combblas_tpu.ops.coo import SpCOO
+from combblas_tpu.ops.spgemm import (
+    _pallas_slab_plan,
+    _slab_extract,
+    _tables_2d,
+    round_capacity_frac,
+    stream_capacity,
+)
+from combblas_tpu.semiring import PLUS_TIMES, Semiring
+
+_SENT = jnp.iinfo(jnp.int32).max
+_MIN_CLS = 7  # smallest window = 2^7 = one 128-lane vector register row
+
+
+def _row_flops_exact(a: SpCOO, b_rp: jax.Array, span_cap: int):
+    """Exact int32 per-slab-local-row product counts (span_cap+1,) and the
+    exclusive cumsum of stream start offsets.  Rows are slab-local (pads
+    land on span_cap).  Exactness matters: the class of a row bounds its
+    window, and an undercounted row would silently truncate products."""
+    kk = b_rp.shape[0] - 1
+    acol = jnp.minimum(a.col, kk - 1)
+    cnt = jnp.where(a.mask(), b_rp[acol + 1] - b_rp[acol], 0)
+    rowfl = jax.ops.segment_sum(
+        cnt, jnp.minimum(a.row, span_cap), num_segments=span_cap + 1
+    )
+    row_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rowfl)[:-1]]
+    )
+    return rowfl, row_start
+
+
+def seg_plan(a: SpCOO, b: SpCOO, num_slabs: int):
+    """Host-side plan for the segmented pipeline.
+
+    Extends :func:`ops.spgemm._pallas_slab_plan` (equal-flops row slabs,
+    int32-safe per-slab flops) with the per-class window capacities:
+    ``s_caps[i]`` = max over slabs of the number of rows in class
+    ``classes[i]``, rounded so every class buffer is a whole number of
+    compress tiles (32768 elements).  Returns a dict of static config."""
+    m, k = a.shape
+    bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = _pallas_slab_plan(
+        a, b, num_slabs, wide=True
+    )
+    # exact per-row flops over the WHOLE matrix, classed on host
+    b_rp_host = np.asarray(b.row_ptr())
+    nnz = int(a.nnz)
+    arow = np.asarray(a.row)[:nnz]
+    acol = np.minimum(np.asarray(a.col)[:nnz], k - 1)
+    cnt = (b_rp_host[acol + 1] - b_rp_host[acol]).astype(np.int64)
+    rowfl = np.bincount(arow, weights=cnt, minlength=m).astype(np.int64)
+    max_row = int(rowfl.max(initial=1))
+    cmax = max(int(max_row).bit_length(), _MIN_CLS)  # floor_log2+1 class
+    classes = list(range(_MIN_CLS, cmax + 1))
+    nz = rowfl > 0
+    cls = np.zeros((m,), np.int64)
+    cls[nz] = np.maximum(
+        np.int64(np.floor(np.log2(rowfl[nz]))) + 1, _MIN_CLS
+    )
+    S = len(bounds) - 1
+    s_caps = []
+    for c in classes:
+        per_slab = np.zeros((S,), np.int64)
+        sel_rows = np.flatnonzero(nz & (cls == c))
+        if sel_rows.size:
+            sid = np.searchsorted(bounds, sel_rows, side="right") - 1
+            per_slab = np.bincount(sid, minlength=S)
+        cap = int(per_slab.max(initial=0))
+        gran = max(32768 // (1 << c), 1)
+        cap = max(-(-max(cap, 1) // gran) * gran, gran)
+        s_caps.append(cap)
+    stream_cap = stream_capacity(worst_fl + (1 << cmax))
+    return dict(
+        bounds=bounds,
+        span_cap=int(span_cap),
+        slab_nnz_cap=int(slab_nnz_cap),
+        chunk_cap=int(chunk_cap),
+        worst_fl=int(worst_fl),
+        classes=tuple(classes),
+        s_caps=tuple(s_caps),
+        stream_cap=int(stream_cap),
+        padded=int(sum(sc * (1 << c) for sc, c in zip(s_caps, classes))),
+    )
+
+
+def _class_windows(colstream, valstream, rowfl, row_start, *,
+                   classes: Tuple[int, ...], s_caps: Tuple[int, ...],
+                   span_cap: int):
+    """Group slab rows by size class and gather each class's per-row
+    contiguous product windows from the stream.  Returns a list of
+    (col2d, val2d, rows_c, lens) per class, where col2d/val2d are the
+    sentinel-padded (S_c, 2^c) batches ready for a dim-1 sort."""
+    R = span_cap + 1
+    # class of each row: floor_log2(f)+1 == 32 - clz(f) for f >= 1
+    cls = jnp.maximum(32 - jax.lax.clz(jnp.maximum(rowfl, 1)), _MIN_CLS)
+    cls = jnp.where(rowfl > 0, cls, 30)  # empty rows -> sentinel class
+    key = cls * R + jnp.arange(R, dtype=jnp.int32)
+    skey = jnp.sort(key)
+    smax = max(s_caps)
+    skey = jnp.concatenate(
+        [skey, jnp.full((smax,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+    )
+    thresholds = jnp.asarray(
+        [c * R for c in classes] + [(classes[-1] + 1) * R], jnp.int32
+    )
+    cstarts = jnp.searchsorted(skey[:R], thresholds).astype(jnp.int32)
+    out = []
+    for i, c in enumerate(classes):
+        L = 1 << c
+        S_c = s_caps[i]
+        seg = jax.lax.dynamic_slice(skey, (cstarts[i],), (S_c,))
+        rows_c = seg % R
+        n_c = cstarts[i + 1] - cstarts[i]
+        live = jnp.arange(S_c, dtype=jnp.int32) < n_c
+        rows_c = jnp.where(live, rows_c, span_cap)
+        lens = jnp.where(live, rowfl[rows_c], 0)
+        starts = jnp.where(live, row_start[rows_c], 0)
+        col2d = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(colstream, (s,), (L,))
+        )(starts)
+        val2d = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(valstream, (s,), (L,))
+        )(starts)
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        keep = j < lens[:, None]
+        col2d = jnp.where(keep, col2d, _SENT)
+        val2d = jnp.where(keep, val2d, 0)
+        out.append((col2d, val2d, rows_c, lens))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "span_cap", "slab_nnz_cap", "chunk_cap",
+                     "slab_out_cap", "stream_cap", "classes", "s_caps",
+                     "interpret"),
+)
+def _seg_slab_digest_step(
+    a: SpCOO,
+    b: SpCOO,
+    b_rp,
+    b_tables,
+    bounds,
+    s,
+    total_lo,
+    total_hi,
+    checksum,
+    truncated,
+    sr: Semiring,
+    *,
+    span_cap: int,
+    slab_nnz_cap: int,
+    chunk_cap: int,
+    slab_out_cap: int,
+    stream_cap: int,
+    classes: Tuple[int, ...],
+    s_caps: Tuple[int, ...],
+    interpret: bool = False,
+):
+    """One slab of the segmented streamed digest: narrow expand with
+    stride=0 (col-only keys), per-class batched within-row sorts, one
+    single-key compress over the concatenated class buffers, digest fold.
+
+    nnz accumulates as 16-bit-split int32 partials exactly as
+    :func:`ops.spgemm._pallas_slab_digest_step` does (scale-22 totals
+    exceed int32)."""
+    from combblas_tpu.ops.pallas.compress_kernel import (
+        compress_sorted_packed_pallas,
+    )
+    from combblas_tpu.ops.pallas.expand_kernel import (
+        build_chunk_meta,
+        expand_chunks_compact,
+    )
+
+    k = a.shape[1]
+    sub, _row_lo = _slab_extract(a, k, bounds, s, span_cap=span_cap,
+                                 slab_nnz_cap=slab_nnz_cap)
+    meta, metaf, _, _fl = build_chunk_meta(
+        sub.row, sub.col, sub.val, sub.mask(), b_rp[:-1], b_rp[1:], 0,
+        chunk_cap,
+    )
+    bc2, bv2 = b_tables if b_tables is not None else _tables_2d(b)
+    colstream, valstream, _total = expand_chunks_compact(
+        meta, metaf, bc2, bv2, sr, stream_cap=stream_cap,
+        interpret=interpret)
+    rowfl, row_start = _row_flops_exact(sub, b_rp, span_cap)
+    wins = _class_windows(colstream, valstream, rowfl, row_start,
+                          classes=classes, s_caps=s_caps, span_cap=span_cap)
+    parts_k, parts_v = [], []
+    for (col2d, val2d, _rows, _lens) in wins:
+        col2d, val2d = jax.lax.sort((col2d, val2d), dimension=1, num_keys=1)
+        parts_k.append(col2d.reshape(-1))
+        parts_v.append(val2d.reshape(-1))
+    cat_k = jnp.concatenate(parts_k)
+    cat_v = jnp.concatenate(parts_v)
+    okey, oval, nnz = compress_sorted_packed_pallas(
+        cat_k, cat_v, sr, out_capacity=slab_out_cap, interpret=interpret
+    )
+    live = jnp.arange(okey.shape[0], dtype=jnp.int32) < nnz
+    cs = jnp.sum(jnp.where(live, oval.astype(jnp.float32), 0.0))
+    return (total_lo + (nnz & 0xFFFF), total_hi + (nnz >> 16),
+            checksum + cs, truncated | (nnz >= slab_out_cap))
+
+
+def spgemm_streamed_seg(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    num_slabs: int,
+    slab_out_cap: int | None = None,
+    interpret: bool = False,
+):
+    """Slab-streamed digest SpGEMM via the segmented pipeline.  Same
+    contract as :func:`ops.spgemm.spgemm_pallas_streamed`: every slab's C
+    block is fully formed, merged and compacted on device, folded into
+    (nnz, checksum), and released.  Returns (nnz_total, checksum,
+    truncated)."""
+    plan = seg_plan(a, b, num_slabs)
+    bounds = plan["bounds"]
+    S = len(bounds) - 1
+    if slab_out_cap is None:
+        slab_out_cap = round_capacity_frac(max(plan["worst_fl"], 2048))
+    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(False),
+    )
+    bounds_dev = jnp.asarray(bounds)
+    b_rp = b.row_ptr()
+    b_tables = _tables_2d(b)
+    for s in range(S):
+        state = _seg_slab_digest_step(
+            a, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+            *state, sr,
+            span_cap=plan["span_cap"], slab_nnz_cap=plan["slab_nnz_cap"],
+            chunk_cap=plan["chunk_cap"], slab_out_cap=slab_out_cap,
+            stream_cap=plan["stream_cap"], classes=plan["classes"],
+            s_caps=plan["s_caps"], interpret=interpret,
+        )
+    total_lo, total_hi, checksum, truncated = state
+    total = int(total_lo) + (int(total_hi) << 16)
+    return total, checksum, truncated

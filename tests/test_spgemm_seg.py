@@ -1,0 +1,101 @@
+"""Segmented (row-classed) ESC pipeline — digest correctness against dense
+references and the flat streamed path, interpret mode on the CPU mesh.
+
+Mirrors the reference's cross-implementation equivalence testing style
+(``MultTest.cpp:120-230``: every new execution variant is checked against
+an independently computed product)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from combblas_tpu.ops.coo import SpCOO
+from combblas_tpu.ops.spgemm import spgemm_pallas_streamed
+from combblas_tpu.ops.spgemm_seg import seg_plan, spgemm_streamed_seg
+from combblas_tpu.semiring import PLUS_TIMES
+
+
+def _rand(m, k, density, seed):
+    rng = np.random.default_rng(seed)
+    d = (rng.random((m, k)) < density) * rng.random((m, k))
+    return d.astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("density", [0.04, 0.15])
+def test_seg_digest_matches_dense(seed, density):
+    m, k, n = 96, 80, 64
+    ad = _rand(m, k, density, seed)
+    bd = _rand(k, n, density, seed + 10)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    nnz, cks, trunc = spgemm_streamed_seg(a, b, PLUS_TIMES, num_slabs=3,
+                                          interpret=True)
+    ref = ad.astype(np.float64) @ bd.astype(np.float64)
+    assert not bool(trunc)
+    assert nnz == int((ref != 0).sum())
+    np.testing.assert_allclose(cks, ref.sum(), rtol=1e-4)
+
+
+def test_seg_matches_flat_streamed_skewed():
+    # power-law-ish skew: a few hub rows with large windows, many tiny rows
+    rng = np.random.default_rng(7)
+    m = k = n = 200
+    ad = np.zeros((m, k), np.float32)
+    for i in range(m):
+        deg = min(int(rng.pareto(0.7) + 1), k)
+        cols = rng.choice(k, size=deg, replace=False)
+        ad[i, cols] = rng.random(deg).astype(np.float32) + 0.1
+    bd = (rng.random((k, n)) < 0.2).astype(np.float32) * 0.5
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    nnz_s, cks_s, tr_s = spgemm_streamed_seg(a, b, PLUS_TIMES, num_slabs=4,
+                                             interpret=True)
+    nnz_f, cks_f, tr_f = spgemm_pallas_streamed(a, b, PLUS_TIMES,
+                                                num_slabs=4, wide=True,
+                                                interpret=True)
+    assert not bool(tr_s) and not bool(tr_f)
+    assert nnz_s == nnz_f
+    np.testing.assert_allclose(float(cks_s), float(cks_f), rtol=1e-5)
+
+
+def test_seg_plan_caps_cover_every_slab_row():
+    # the plan's class capacities must fit the realized per-slab row counts
+    rng = np.random.default_rng(3)
+    m = k = 150
+    ad = (rng.random((m, k)) < 0.08).astype(np.float32)
+    a = SpCOO.from_dense(ad)
+    plan = seg_plan(a, a, 5)
+    bounds = np.asarray(plan["bounds"])
+    classes = plan["classes"]
+    s_caps = plan["s_caps"]
+    deg = np.asarray(jnp.bincount(jnp.asarray(a.row)[: int(a.nnz)],
+                                  length=m))
+    col = np.asarray(a.col)[: int(a.nnz)]
+    rowfl = np.bincount(np.asarray(a.row)[: int(a.nnz)],
+                        weights=deg[col].astype(np.float64),
+                        minlength=m)
+    cls = np.zeros((m,), int)
+    nz = rowfl > 0
+    cls[nz] = np.maximum(np.floor(np.log2(rowfl[nz])).astype(int) + 1, 7)
+    for s in range(len(bounds) - 1):
+        lo, hi = bounds[s], bounds[s + 1]
+        for i, c in enumerate(classes):
+            cnt = int(((cls[lo:hi] == c) & nz[lo:hi]).sum())
+            assert cnt <= s_caps[i], (s, c, cnt, s_caps[i])
+        # every nonzero row's class is in the static class list
+        present = set(np.unique(cls[lo:hi][nz[lo:hi]]))
+        assert present <= set(classes)
+
+
+def test_seg_single_slab_tiny():
+    ad = np.array([[1.0, 2.0, 0.0], [0.0, 3.0, 4.0], [5.0, 0.0, 6.0]],
+                  np.float32)
+    a = SpCOO.from_dense(ad)
+    nnz, cks, trunc = spgemm_streamed_seg(a, a, PLUS_TIMES, num_slabs=1,
+                                          interpret=True)
+    ref = ad @ ad
+    assert nnz == int((ref != 0).sum())
+    np.testing.assert_allclose(cks, ref.sum(), rtol=1e-5)
+    assert not bool(trunc)
