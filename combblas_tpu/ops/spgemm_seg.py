@@ -246,6 +246,43 @@ def _seg_slab_digest_step(
             checksum + cs, truncated | (nnz >= slab_out_cap))
 
 
+def seg_prepare(a: SpCOO, b: SpCOO, num_slabs: int,
+                slab_out_cap: int | None = None):
+    """Hoistable per-(a, b) state for the segmented streamed digest: the
+    host plan plus the slab-invariant device tables (B row-pointer map and
+    padded B tables), exactly what the flat headline loop hoists.  Returns
+    (plan, b_rp, b_tables, bounds_dev, slab_out_cap)."""
+    plan = seg_plan(a, b, num_slabs)
+    if slab_out_cap is None:
+        slab_out_cap = round_capacity_frac(max(plan["worst_fl"], 2048))
+    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
+    return (plan, b.row_ptr(), _tables_2d(b), jnp.asarray(plan["bounds"]),
+            slab_out_cap)
+
+
+def seg_step(a, b, prep, s, state, sr: Semiring = PLUS_TIMES, *,
+             interpret: bool = False):
+    """One slab step of the segmented digest on hoisted ``prep`` state."""
+    plan, b_rp, b_tables, bounds_dev, slab_out_cap = prep
+    return _seg_slab_digest_step(
+        a, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+        *state, sr,
+        span_cap=plan["span_cap"], slab_nnz_cap=plan["slab_nnz_cap"],
+        chunk_cap=plan["chunk_cap"], slab_out_cap=slab_out_cap,
+        stream_cap=plan["stream_cap"], classes=plan["classes"],
+        s_caps=plan["s_caps"], interpret=interpret,
+    )
+
+
+def seg_zero_state():
+    return (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(False),
+    )
+
+
 def spgemm_streamed_seg(
     a: SpCOO,
     b: SpCOO,
@@ -260,30 +297,11 @@ def spgemm_streamed_seg(
     block is fully formed, merged and compacted on device, folded into
     (nnz, checksum), and released.  Returns (nnz_total, checksum,
     truncated)."""
-    plan = seg_plan(a, b, num_slabs)
-    bounds = plan["bounds"]
-    S = len(bounds) - 1
-    if slab_out_cap is None:
-        slab_out_cap = round_capacity_frac(max(plan["worst_fl"], 2048))
-    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
-    state = (
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0.0, jnp.float32),
-        jnp.asarray(False),
-    )
-    bounds_dev = jnp.asarray(bounds)
-    b_rp = b.row_ptr()
-    b_tables = _tables_2d(b)
+    prep = seg_prepare(a, b, num_slabs, slab_out_cap)
+    S = len(prep[0]["bounds"]) - 1
+    state = seg_zero_state()
     for s in range(S):
-        state = _seg_slab_digest_step(
-            a, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
-            *state, sr,
-            span_cap=plan["span_cap"], slab_nnz_cap=plan["slab_nnz_cap"],
-            chunk_cap=plan["chunk_cap"], slab_out_cap=slab_out_cap,
-            stream_cap=plan["stream_cap"], classes=plan["classes"],
-            s_caps=plan["s_caps"], interpret=interpret,
-        )
+        state = seg_step(a, b, prep, s, state, sr, interpret=interpret)
     total_lo, total_hi, checksum, truncated = state
     total = int(total_lo) + (int(total_hi) << 16)
     return total, checksum, truncated

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--scales", type=int, nargs="+", default=[18, 21, 22])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    ap.add_argument("--seg", action="store_true",
+                    help="segmented (within-row batched sort) pipeline")
+    ap.add_argument("--no-crossval", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -94,28 +97,49 @@ def run_scale(scale, args):
         t0 = time.time()
         flops = int(spgemm_flops(a, a))
         num_slabs = max(-(-flops // args.max_flops_cap), 2)
-        bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
-            _pallas_slab_plan(a, a, num_slabs, wide=True)
-        num_slabs = len(bounds) - 1
-        slab_out_cap = max(
-            -(-round_capacity_frac(max(worst_fl, 2048)) // 128) * 128, 2048)
-        scap = stream_capacity(worst_fl)
-        bounds_dev = jnp.asarray(bounds)
-        log({"ev": "plan", "scale": scale, "flops": flops,
-             "slabs": num_slabs, "chunk_cap": int(chunk_cap),
-             "slab_out_cap": int(slab_out_cap),
-             "secs": round(time.time() - t0, 1)})
+        if args.seg:
+            from combblas_tpu.ops.spgemm_seg import (
+                seg_prepare,
+                seg_step,
+                seg_zero_state,
+            )
 
-        a_rp = a.row_ptr()  # slab-invariant B-side row map, computed once
-        a_tables = _tables_2d(a)
+            prep = seg_prepare(a, a, num_slabs)
+            num_slabs = len(prep[0]["bounds"]) - 1
+            log({"ev": "plan", "scale": scale, "flops": flops,
+                 "pipeline": "seg", "slabs": num_slabs,
+                 "padded": prep[0]["padded"],
+                 "pad_ratio": round(
+                     prep[0]["padded"] / max(prep[0]["worst_fl"], 1), 3),
+                 "secs": round(time.time() - t0, 1)})
 
-        def step(s, state):
-            return _pallas_slab_digest_step(
-                a, a, a_rp, a_tables, bounds_dev,
-                jnp.asarray(s, jnp.int32), *state,
-                PLUS_TIMES, span_cap=span_cap, slab_nnz_cap=slab_nnz_cap,
-                chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
-                stream_cap=scap, wide=True, interpret=False)
+            def step(s, state):
+                return seg_step(a, a, prep, s, state, PLUS_TIMES)
+        else:
+            bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
+                _pallas_slab_plan(a, a, num_slabs, wide=True)
+            num_slabs = len(bounds) - 1
+            slab_out_cap = max(
+                -(-round_capacity_frac(max(worst_fl, 2048)) // 128) * 128,
+                2048)
+            scap = stream_capacity(worst_fl)
+            bounds_dev = jnp.asarray(bounds)
+            log({"ev": "plan", "scale": scale, "flops": flops,
+                 "slabs": num_slabs, "chunk_cap": int(chunk_cap),
+                 "slab_out_cap": int(slab_out_cap),
+                 "secs": round(time.time() - t0, 1)})
+
+            a_rp = a.row_ptr()  # slab-invariant B-side row map, once
+            a_tables = _tables_2d(a)
+
+            def step(s, state):
+                return _pallas_slab_digest_step(
+                    a, a, a_rp, a_tables, bounds_dev,
+                    jnp.asarray(s, jnp.int32), *state,
+                    PLUS_TIMES, span_cap=span_cap,
+                    slab_nnz_cap=slab_nnz_cap,
+                    chunk_cap=chunk_cap, slab_out_cap=slab_out_cap,
+                    stream_cap=scap, wide=True, interpret=False)
 
         zero = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
@@ -144,6 +168,7 @@ def run_scale(scale, args):
                 best = rec
         ref = {21: 51.3, 22: 109.1, 23: 224.3}.get(scale)
         summary = {"ev": "summary", "scale": scale, "nnz_a": nnz_a,
+                   "pipeline": "seg" if args.seg else "flat",
                    "flops": flops, "slabs": num_slabs,
                    "best_secs": best["secs"], "nnz_c": best["nnz_c"],
                    "checksum": best["checksum"],
@@ -154,7 +179,7 @@ def run_scale(scale, args):
             summary["time_ratio_vs_ref"] = round(ref / best["secs"], 2)
         log(summary)
 
-        if scale == 18:
+        if scale == 18 and not args.no_crossval:
             # digest cross-validation vs the materialized row-chunked path
             t0 = time.time()
             m, n = a.shape
