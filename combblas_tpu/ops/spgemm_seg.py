@@ -57,6 +57,29 @@ _SENT = jnp.iinfo(jnp.int32).max
 _MIN_CLS = 7  # smallest window = 2^7 = one 128-lane vector register row
 
 
+def _widths_upto(max_row: int):
+    """Half-octave window widths 128, 192, 256, 384, 512, ... — first
+    entry strictly greater than ``max_row`` is the last.  The 1.5x-spaced
+    ladder keeps expected padding ~1.2x (vs ~1.4x for pure octaves) at the
+    cost of ~2x more (still static) sort shapes."""
+    out = []
+    c = _MIN_CLS
+    while True:
+        for w in (1 << c, 3 << (c - 1)):
+            out.append(w)
+            if w > max_row:
+                return out
+        c += 1
+
+
+def _width_gran(L: int) -> int:
+    """Window count granularity so a class buffer S*L is a whole number of
+    32768-element compress tiles."""
+    import math
+
+    return max(32768 // math.gcd(L, 32768), 1)
+
+
 def _row_flops_exact(a: SpCOO, b_rp: jax.Array, span_cap: int):
     """Exact int32 per-slab-local-row product counts (span_cap+1,) and the
     exclusive cumsum of stream start offsets.  Rows are slab-local (pads
@@ -94,36 +117,35 @@ def seg_plan(a: SpCOO, b: SpCOO, num_slabs: int):
     cnt = (b_rp_host[acol + 1] - b_rp_host[acol]).astype(np.int64)
     rowfl = np.bincount(arow, weights=cnt, minlength=m).astype(np.int64)
     max_row = int(rowfl.max(initial=1))
-    cmax = max(int(max_row).bit_length(), _MIN_CLS)  # floor_log2+1 class
-    classes = list(range(_MIN_CLS, cmax + 1))
+    widths = _widths_upto(max_row)
     nz = rowfl > 0
-    cls = np.zeros((m,), np.int64)
-    cls[nz] = np.maximum(
-        np.int64(np.floor(np.log2(rowfl[nz]))) + 1, _MIN_CLS
-    )
+    warr = np.asarray(widths, np.int64)
+    # class of a row = first width STRICTLY greater than its flops (so a
+    # window always keeps >= 1 trailing sentinel)
+    cls = np.searchsorted(warr, rowfl, side="right")
     S = len(bounds) - 1
     s_caps = []
-    for c in classes:
+    for i, w in enumerate(widths):
         per_slab = np.zeros((S,), np.int64)
-        sel_rows = np.flatnonzero(nz & (cls == c))
+        sel_rows = np.flatnonzero(nz & (cls == i))
         if sel_rows.size:
             sid = np.searchsorted(bounds, sel_rows, side="right") - 1
             per_slab = np.bincount(sid, minlength=S)
         cap = int(per_slab.max(initial=0))
-        gran = max(32768 // (1 << c), 1)
+        gran = _width_gran(w)
         cap = max(-(-max(cap, 1) // gran) * gran, gran)
         s_caps.append(cap)
-    stream_cap = stream_capacity(worst_fl + (1 << cmax))
+    stream_cap = stream_capacity(worst_fl + widths[-1])
     return dict(
         bounds=bounds,
         span_cap=int(span_cap),
         slab_nnz_cap=int(slab_nnz_cap),
         chunk_cap=int(chunk_cap),
         worst_fl=int(worst_fl),
-        classes=tuple(classes),
+        classes=tuple(widths),
         s_caps=tuple(s_caps),
         stream_cap=int(stream_cap),
-        padded=int(sum(sc * (1 << c) for sc, c in zip(s_caps, classes))),
+        padded=int(sum(sc * w for sc, w in zip(s_caps, widths))),
     )
 
 
@@ -131,13 +153,16 @@ def _class_windows(colstream, valstream, rowfl, row_start, *,
                    classes: Tuple[int, ...], s_caps: Tuple[int, ...],
                    span_cap: int):
     """Group slab rows by size class and gather each class's per-row
-    contiguous product windows from the stream.  Returns a list of
+    contiguous product windows from the stream.  ``classes`` are the
+    half-octave window WIDTHS (:func:`_widths_upto`).  Returns a list of
     (col2d, val2d, rows_c, lens) per class, where col2d/val2d are the
-    sentinel-padded (S_c, 2^c) batches ready for a dim-1 sort."""
+    sentinel-padded (S_c, L) batches ready for a dim-1 sort."""
     R = span_cap + 1
-    # class of each row: floor_log2(f)+1 == 32 - clz(f) for f >= 1
-    cls = jnp.maximum(32 - jax.lax.clz(jnp.maximum(rowfl, 1)), _MIN_CLS)
-    cls = jnp.where(rowfl > 0, cls, 30)  # empty rows -> sentinel class
+    widths_dev = jnp.asarray(classes, jnp.int32)
+    # class of each row = first width strictly greater than its flops
+    cls = jnp.searchsorted(widths_dev, rowfl, side="right").astype(jnp.int32)
+    ncls = len(classes)
+    cls = jnp.where(rowfl > 0, cls, ncls + 1)  # empty rows -> sentinel
     key = cls * R + jnp.arange(R, dtype=jnp.int32)
     skey = jnp.sort(key)
     smax = max(s_caps)
@@ -145,12 +170,11 @@ def _class_windows(colstream, valstream, rowfl, row_start, *,
         [skey, jnp.full((smax,), jnp.iinfo(jnp.int32).max, jnp.int32)]
     )
     thresholds = jnp.asarray(
-        [c * R for c in classes] + [(classes[-1] + 1) * R], jnp.int32
+        [i * R for i in range(ncls + 1)], jnp.int32
     )
     cstarts = jnp.searchsorted(skey[:R], thresholds).astype(jnp.int32)
     out = []
-    for i, c in enumerate(classes):
-        L = 1 << c
+    for i, L in enumerate(classes):
         S_c = s_caps[i]
         seg = jax.lax.dynamic_slice(skey, (cstarts[i],), (S_c,))
         rows_c = seg % R

@@ -76,17 +76,21 @@ def test_seg_plan_caps_cover_every_slab_row():
     rowfl = np.bincount(np.asarray(a.row)[: int(a.nnz)],
                         weights=deg[col].astype(np.float64),
                         minlength=m)
-    cls = np.zeros((m,), int)
     nz = rowfl > 0
-    cls[nz] = np.maximum(np.floor(np.log2(rowfl[nz])).astype(int) + 1, 7)
+    # classes are half-octave widths; a row's window must STRICTLY exceed
+    # its flops (the trailing-sentinel guarantee)
+    widths = np.asarray(classes)
+    assert np.all(np.diff(widths) > 0)
+    assert widths[-1] > rowfl.max()
+    cls = np.searchsorted(widths, rowfl, side="right")
     for s in range(len(bounds) - 1):
         lo, hi = bounds[s], bounds[s + 1]
-        for i, c in enumerate(classes):
-            cnt = int(((cls[lo:hi] == c) & nz[lo:hi]).sum())
-            assert cnt <= s_caps[i], (s, c, cnt, s_caps[i])
-        # every nonzero row's class is in the static class list
-        present = set(np.unique(cls[lo:hi][nz[lo:hi]]))
-        assert present <= set(classes)
+        for i, w in enumerate(classes):
+            cnt = int(((cls[lo:hi] == i) & nz[lo:hi]).sum())
+            assert cnt <= s_caps[i], (s, w, cnt, s_caps[i])
+            sel = (cls[lo:hi] == i) & nz[lo:hi]
+            if sel.any():
+                assert rowfl[lo:hi][sel].max() < w
 
 
 def test_seg_single_slab_tiny():
