@@ -94,8 +94,9 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
                     probs=SSCA)
     flops = int(spgemm_flops(a, a))
     num_slabs = max(-(-flops // max_flops_cap), 2)
-    # segmented (within-row batched sort) pipeline: measured 17% faster
-    # than the flat wide slab sort at scale 18 (bench_logs/probe_seg_*)
+    # segmented (within-row batched sort) pipeline — measured on chip:
+    # scale-21 51.4 s (= the reference core's 51.3 s wall at 3.7x the
+    # flops), scale-22 141.4 s (bench_logs/headline2*_seg_fc28.log)
     prep = seg_prepare(a, a, num_slabs)
     num_slabs = len(prep[0]["bounds"]) - 1
 
@@ -326,7 +327,7 @@ def main():
                     help="headline scale (reference log exists for 21/22/23)")
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_SECS", 1500)),
                     help="total wall-clock budget (s); the scale-22 headline "

@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", type=int, nargs="+", default=[16, 18])
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
     ap.add_argument("--skip-flat", action="store_true")
     args = ap.parse_args()
 

@@ -35,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", type=int, nargs="+", default=[18, 21, 22])
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--max-flops-cap", type=int, default=1 << 27)
+    ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
     ap.add_argument("--seg", action="store_true",
                     help="segmented (within-row batched sort) pipeline")
     ap.add_argument("--no-crossval", action="store_true")
