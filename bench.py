@@ -250,17 +250,23 @@ def bench_bfs(scale: int, iters: int):
     from combblas_tpu.gen.rmat import rmat_matrix
     from combblas_tpu.models.bfs import bfs_local
 
+    import jax.numpy as jnp
+
     a = rmat_matrix(jax.random.PRNGKey(9), scale=scale, edgefactor=16,
                     symmetrize=True, remove_self_loops=True)
     nnz = int(a.nnz)
     # Graph500 rule: sample search keys among vertices with degree >= 1
     deg_rows = np.unique(np.asarray(a.row)[:nnz])
     roots = deg_rows[:: max(1, len(deg_rows) // max(iters, 1))][:iters + 1]
-    parents, levels = bfs_local(a, int(roots[0]))
+    # jit once with a TRACED root: a python-int root would retrace (and
+    # rebuild the while_loop) for every new search key
+    bl = jax.jit(bfs_local)
+    parents, levels = bl(a, jnp.asarray(int(roots[0]), jnp.int32))
     visited = int((np.asarray(levels) >= 0).sum())  # sync
     t0 = time.perf_counter()
     for i in range(iters):
-        parents, levels = bfs_local(a, int(roots[i % len(roots)]))
+        parents, levels = bl(
+            a, jnp.asarray(int(roots[i % len(roots)]), jnp.int32))
         visited = int((np.asarray(levels) >= 0).sum())
     dt = (time.perf_counter() - t0) / iters
     # Graph500 TEPS counts traversed edges = edges in the reached component
@@ -297,8 +303,13 @@ def bench_spmsv(scale: int, iters: int, frontier_frac: float = 0.01):
                 edges_per_s=int(int(a.nnz) / dt))
 
 
-def bench_ewise(iters: int):
-    """EWiseApply roofline sweep (``ReleaseTests/Roofline.cpp:69-81``)."""
+def bench_ewise(iters: int, inner: int = 256):
+    """EWiseApply roofline sweep (``ReleaseTests/Roofline.cpp:69-81``).
+
+    ``inner`` repeats ride INSIDE one jit (a fori_loop whose carry feeds
+    the next apply) so the tunnel's per-dispatch latency (~25 ms round
+    trip) is amortized — one dispatch per timed sample, as the reference's
+    tight in-process loop has no per-op launch either."""
     import jax
     import jax.numpy as jnp
 
@@ -309,13 +320,15 @@ def bench_ewise(iters: int):
 
         @jax.jit
         def ew(x, y):
-            return jnp.sum(x * y + 1.0)
+            def body(_, c):
+                return c * y + 1e-7
+            return jnp.sum(jax.lax.fori_loop(0, inner, body, x))
 
         s = float(ew(x, y))
         t0 = time.perf_counter()
         for _ in range(iters):
             s = float(ew(x, y))
-        dt = (time.perf_counter() - t0) / iters
+        dt = (time.perf_counter() - t0) / (iters * inner)
         best = max(best, ln / dt)
     return dict(gteps=best / 1e9)
 
@@ -346,7 +359,10 @@ def main():
     t_start = time.perf_counter()
 
     def first_line(scale, iters):
-        r = bench_spgemm(scale, args.edgefactor, iters, args.max_flops_cap)
+        # materialized cheap lines keep the 2^27 slab budget: they hold the
+        # full C plus slab buffers at once, and 2^28 slabs OOM at scale 16
+        r = bench_spgemm(scale, args.edgefactor, iters,
+                         min(args.max_flops_cap, 1 << 27))
         print(json.dumps({
             "metric": f"rmat_scale{scale}_A2_spgemm_products_per_s",
             "value": round(r["products_per_s"] / 1e6, 2),
@@ -368,7 +384,7 @@ def main():
         for name, fn, kw in (
             ("rmat_scale16_A2_spgemm", bench_spgemm,
              dict(scale=16, edgefactor=16, iters=args.iters,
-                  max_flops_cap=args.max_flops_cap)),
+                  max_flops_cap=min(args.max_flops_cap, 1 << 27))),
             ("spmm_gbps", bench_spmm, dict(scale=16, d=128,
                                            iters=args.iters)),
             ("bfs_gteps", bench_bfs, dict(scale=14, iters=args.iters)),
