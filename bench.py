@@ -309,28 +309,41 @@ def bench_ewise(iters: int, inner: int = 256):
     ``inner`` repeats ride INSIDE one jit (a fori_loop whose carry feeds
     the next apply) so the tunnel's per-dispatch latency (~25 ms round
     trip) is amortized — one dispatch per timed sample, as the reference's
-    tight in-process loop has no per-op launch either."""
+    tight in-process loop has no per-op launch either.
+
+    Each inner apply multiplies the carry by a FRESH slice of a buffer
+    larger than VMEM, so the per-apply operand read is guaranteed HBM
+    streaming, not a VMEM-resident reuse — the number is defensibly
+    bytes-from-HBM like the reference's memory-streaming roofline.  Per
+    element-op traffic: 1 fresh operand read + carry read/write."""
     import jax
     import jax.numpy as jnp
 
+    big_len = 1 << 26  # 256 MB of f32 — far beyond v5e VMEM
+    big = jax.random.uniform(jax.random.PRNGKey(3), (big_len,), jnp.float32)
     best = 0.0
+    detail = {}
     for ln in (1 << 15, 1 << 20, 1 << 24):
         x = jax.random.uniform(jax.random.PRNGKey(1), (ln,), jnp.float32)
-        y = jax.random.uniform(jax.random.PRNGKey(2), (ln,), jnp.float32)
+        nslices = big_len // ln
 
         @jax.jit
-        def ew(x, y):
-            def body(_, c):
-                return c * y + 1e-7
+        def ew(x, big):
+            def body(i, c):
+                off = (i % nslices) * ln
+                sl = jax.lax.dynamic_slice(big, (off,), (ln,))
+                return c * sl + 1e-7
             return jnp.sum(jax.lax.fori_loop(0, inner, body, x))
 
-        s = float(ew(x, y))
+        s = float(ew(x, big))
         t0 = time.perf_counter()
         for _ in range(iters):
-            s = float(ew(x, y))
+            s = float(ew(x, big))
         dt = (time.perf_counter() - t0) / (iters * inner)
+        detail[f"len_{ln}"] = round(ln / dt / 1e9, 2)
         best = max(best, ln / dt)
-    return dict(gteps=best / 1e9)
+    return dict(gteps=best / 1e9, per_len_gteps=detail,
+                hbm_gbps_lower_bound=round(best * 4 / 1e9, 1))
 
 
 def main():

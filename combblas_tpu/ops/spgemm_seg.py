@@ -136,6 +136,13 @@ def seg_plan(a: SpCOO, b: SpCOO, num_slabs: int):
         cap = max(-(-max(cap, 1) // gran) * gran, gran)
         s_caps.append(cap)
     stream_cap = stream_capacity(worst_fl + widths[-1])
+    # _class_windows builds the grouping key cls * (span_cap+1) + row in
+    # int32 with cls <= len(widths)+1; guard the scale limit explicitly
+    # rather than silently scrambling the class sort past it.
+    assert (len(widths) + 2) * (span_cap + 1) < 2**31, (
+        "seg pipeline int32 class-key overflow: slab row span too large "
+        f"(span_cap={span_cap}, classes={len(widths)}) — raise num_slabs"
+    )
     return dict(
         bounds=bounds,
         span_cap=int(span_cap),
@@ -305,6 +312,278 @@ def seg_zero_state():
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(False),
     )
+
+
+# ---------------------------------------------------------------------------
+# seg2: sorted-row uniform-width slabs
+# ---------------------------------------------------------------------------
+#
+# The class-batched pipeline above pays a max-over-slabs tax: every slab
+# allocates (and sorts) every class at the largest count any slab needs —
+# measured pad_ratio 1.62 at scale 22 vs the ~1.2 the half-octave ladder
+# promises.  seg2 removes the tax with a workload transform the digest
+# contract makes free: permuting A's rows permutes C's rows but changes
+# neither nnz nor the value multiset, so sort A's rows by product count
+# DESCENDING and slab the *sorted* order.  Every slab is then one
+# homogeneous batch of windows of ONE width (the ladder width of its first
+# = heaviest row), sized to its true count — no classes, no cross-slab max,
+# and the per-slab step is simpler than the classed one.
+#
+# Reference counterpart: the hash-SpGEMM of ``mtSpGEMM.h:362-440`` is
+# insensitive to row order; this transform buys the sort formulation the
+# same insensitivity.
+
+
+def _ladder_down(w: int) -> int:
+    """Previous half-octave ladder value (window lower bound for one slab)."""
+    c = _MIN_CLS
+    prev = 1 << c
+    while True:
+        for cand in (1 << c, 3 << (c - 1)):
+            if cand >= w:
+                return prev
+            prev = cand
+        c += 1
+
+
+def _frac_ladder(n: int, frac: int = 4) -> int:
+    """Round up to the next 1/frac-pow2 ladder value (shape-count control)."""
+    n = max(n, 1)
+    step = max((1 << int(np.floor(np.log2(n)))) // frac, 1)
+    return -(-n // step) * step
+
+
+def _pow4_cap(n: int) -> int:
+    """Round up to the next power of 4 (coarse cap for cheap dimensions)."""
+    n = max(n, 256)
+    p = 1
+    while p < n:
+        p <<= 2
+    return p
+
+
+def seg2_plan(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
+              pad_cap: int = 1 << 28):
+    """Host plan for the sorted-row uniform-width pipeline.
+
+    Builds ``a2`` — A with rows permuted by descending product count and
+    zero-product rows/entries dropped — plus contiguous slab bounds over the
+    sorted row order.  Each slab gets ONE window width ``w`` (smallest
+    half-octave ladder value strictly above its heaviest row) and a window
+    count ``s_pad``; slabs cut when (i) the next row falls below the
+    previous ladder step (pad bound), (ii) slab flops would exceed
+    ``flops_cap`` (the stream/memory budget), or (iii) padded elements would
+    exceed ``pad_cap``.  Mid-class cuts land on a 1/4-pow2 count ladder so
+    consecutive same-width slabs share one compiled shape.
+
+    Returns (a2, cfg) where cfg carries bounds, per-slab static configs and
+    the shared caps."""
+    m, k = a.shape
+    nnz = int(a.nnz)
+    b_rp = np.asarray(b.row_ptr()).astype(np.int64)
+    arow = np.asarray(a.row)[:nnz]
+    acol = np.minimum(np.asarray(a.col)[:nnz], k - 1)
+    aval = np.asarray(a.val)[:nnz]
+    cnt_e = b_rp[acol + 1] - b_rp[acol]
+    rowfl = np.bincount(arow, weights=cnt_e, minlength=m).astype(np.int64)
+    live_rows = np.flatnonzero(rowfl > 0)
+    order = live_rows[np.argsort(-rowfl[live_rows], kind="stable")]
+    R = len(order)
+    fl = rowfl[order]  # descending
+    newid = np.full(m, -1, np.int64)
+    newid[order] = np.arange(R)
+    keep = cnt_e > 0
+    new_r = newid[arow[keep]].astype(np.int32)
+    new_c = acol[keep].astype(np.int32)
+    new_v = aval[keep]
+    og = np.lexsort((new_c, new_r))
+    new_r, new_c, new_v = new_r[og], new_c[og], new_v[og]
+    a2 = SpCOO.from_arrays(new_r, new_c, new_v, (m, k),
+                           sum_duplicates=False, dtype=a.val.dtype)
+    # per-sorted-row entry counts (for per-slab nnz caps)
+    epr = np.bincount(new_r, minlength=R).astype(np.int64)
+    epr_cum = np.concatenate([[0], np.cumsum(epr)])
+    fl_cum = np.concatenate([[0], np.cumsum(fl)])
+
+    bounds = [0]
+    slabs = []
+    r = 0
+    while r < R:
+        w = _widths_upto(int(fl[r]))[-1]  # strictly greater than fl[r]
+        # rows down to the previous ladder step share the slab; at the
+        # minimum width EVERY remaining row does (fl < 128 ⇒ w == 128)
+        w_low = _ladder_down(w) if w > (1 << _MIN_CLS) else 0
+        gran = _width_gran(w)
+        # windows allowed in this slab by each constraint
+        lim_pad = pad_cap // w
+        lim_class = int(np.searchsorted(-fl, -w_low, side="right") - r)
+        lim_flops = int(
+            np.searchsorted(fl_cum, fl_cum[r] + flops_cap, side="right")
+            - 1 - r)
+        cnt = max(min(lim_pad, lim_class, lim_flops), 1)
+        if cnt < lim_class and cnt > gran:
+            # mid-class cut (flops/pad budget, more same-width rows remain):
+            # land on the largest gran-multiple 1/4-pow2 ladder value <= cnt
+            # so consecutive same-width slabs share one compiled shape with
+            # zero sentinel windows
+            cnt_g = cnt // gran
+            step = max((1 << int(np.floor(np.log2(cnt_g)))) // 4, 1)
+            cnt = (cnt_g // step) * step * gran
+            s_pad = cnt
+        else:
+            # class-exhausted cut: round the residual count up the ladder
+            s_pad = _frac_ladder(-(-cnt // gran)) * gran
+        nnz_s = int(epr_cum[r + cnt] - epr_cum[r])
+        fl_s = int(fl_cum[r + cnt] - fl_cum[r])
+        # chunk bound: one chunk per entry + one per CH products
+        ch_s = nnz_s + -(-fl_s // 128)
+        slabs.append(dict(
+            w=int(w), s_pad=int(s_pad), cnt=int(cnt),
+            nnz_cap=_pow4_cap(nnz_s), chunk_cap=_pow4_cap(ch_s),
+            flops=fl_s, padded=int(s_pad) * int(w),
+        ))
+        r += cnt
+        bounds.append(r)
+    worst_fl = max(s["flops"] for s in slabs)
+    stream_cap = stream_capacity(worst_fl + max(s["w"] for s in slabs))
+    padded_total = sum(s["padded"] for s in slabs)
+    flops_total = int(fl_cum[-1])
+    shapes = sorted({(s["w"], s["s_pad"], s["nnz_cap"], s["chunk_cap"])
+                     for s in slabs})
+    cfg = dict(
+        bounds=np.asarray(bounds, np.int32), slabs=slabs,
+        stream_cap=int(stream_cap), worst_fl=int(worst_fl),
+        padded=int(padded_total), flops=flops_total,
+        pad_ratio=padded_total / max(flops_total, 1), shapes=shapes,
+    )
+    return a2, cfg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "w", "s_pad", "nnz_cap", "chunk_cap",
+                     "stream_cap", "slab_out_cap", "interpret"),
+)
+def _seg2_slab_digest_step(
+    a2: SpCOO,
+    b: SpCOO,
+    b_rp,
+    b_tables,
+    bounds,
+    s,
+    cnt,
+    total_lo,
+    total_hi,
+    checksum,
+    truncated,
+    sr: Semiring,
+    *,
+    w: int,
+    s_pad: int,
+    nnz_cap: int,
+    chunk_cap: int,
+    stream_cap: int,
+    slab_out_cap: int,
+    interpret: bool = False,
+):
+    """One sorted-row uniform-width slab: narrow expand (stride=0, col-only
+    keys), ONE (s_pad, w) batched within-row sort, one single-key compress,
+    digest fold.  All ``cnt`` live windows are contiguous local rows
+    [0, cnt); ``s_pad - cnt`` trailing windows are all-sentinel."""
+    from combblas_tpu.ops.pallas.compress_kernel import (
+        compress_sorted_packed_pallas,
+    )
+    from combblas_tpu.ops.pallas.expand_kernel import (
+        build_chunk_meta,
+        expand_chunks_compact,
+    )
+
+    k = a2.shape[1]
+    sub, _row_lo = _slab_extract(a2, k, bounds, s, span_cap=s_pad,
+                                 slab_nnz_cap=nnz_cap)
+    meta, metaf, _, _fl = build_chunk_meta(
+        sub.row, sub.col, sub.val, sub.mask(), b_rp[:-1], b_rp[1:], 0,
+        chunk_cap,
+    )
+    bc2, bv2 = b_tables if b_tables is not None else _tables_2d(b)
+    colstream, valstream, _total = expand_chunks_compact(
+        meta, metaf, bc2, bv2, sr, stream_cap=stream_cap,
+        interpret=interpret)
+    rowfl, row_start = _row_flops_exact(sub, b_rp, s_pad)
+    i = jnp.arange(s_pad, dtype=jnp.int32)
+    live = i < cnt
+    lens = jnp.where(live, rowfl[:s_pad], 0)
+    starts = jnp.where(live, row_start[:s_pad], 0)
+    col2d = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(colstream, (st,), (w,))
+    )(starts)
+    val2d = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(valstream, (st,), (w,))
+    )(starts)
+    j = jnp.arange(w, dtype=jnp.int32)[None, :]
+    keep = j < lens[:, None]
+    col2d = jnp.where(keep, col2d, _SENT)
+    val2d = jnp.where(keep, val2d, 0)
+    col2d, val2d = jax.lax.sort((col2d, val2d), dimension=1, num_keys=1)
+    okey, oval, nnz = compress_sorted_packed_pallas(
+        col2d.reshape(-1), val2d.reshape(-1), sr,
+        out_capacity=slab_out_cap, interpret=interpret,
+    )
+    live_o = jnp.arange(okey.shape[0], dtype=jnp.int32) < nnz
+    cs = jnp.sum(jnp.where(live_o, oval.astype(jnp.float32), 0.0))
+    return (total_lo + (nnz & 0xFFFF), total_hi + (nnz >> 16),
+            checksum + cs, truncated | (nnz >= slab_out_cap))
+
+
+def seg2_prepare(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
+                 pad_cap: int = 1 << 28, slab_out_cap: int | None = None):
+    """Hoistable state for the sorted-row uniform-width digest pipeline:
+    (a2, cfg, b_rp, b_tables, bounds_dev, slab_out_cap)."""
+    a2, cfg = seg2_plan(a, b, flops_cap=flops_cap, pad_cap=pad_cap)
+    if slab_out_cap is None:
+        slab_out_cap = round_capacity_frac(max(cfg["worst_fl"], 2048))
+    slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
+    return (a2, cfg, b.row_ptr(), _tables_2d(b),
+            jnp.asarray(cfg["bounds"]), slab_out_cap)
+
+
+def seg2_step(b, prep, s, state, sr: Semiring = PLUS_TIMES, *,
+              interpret: bool = False):
+    """One slab step on hoisted ``prep`` state (host loop drives ``s``)."""
+    a2, cfg, b_rp, b_tables, bounds_dev, slab_out_cap = prep
+    sl = cfg["slabs"][s]
+    return _seg2_slab_digest_step(
+        a2, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+        jnp.asarray(sl["cnt"], jnp.int32), *state, sr,
+        w=sl["w"], s_pad=sl["s_pad"], nnz_cap=sl["nnz_cap"],
+        chunk_cap=sl["chunk_cap"], stream_cap=cfg["stream_cap"],
+        slab_out_cap=slab_out_cap, interpret=interpret,
+    )
+
+
+def spgemm_streamed_seg2(
+    a: SpCOO,
+    b: SpCOO,
+    sr: Semiring = PLUS_TIMES,
+    *,
+    flops_cap: int = 1 << 28,
+    pad_cap: int = 1 << 28,
+    slab_out_cap: int | None = None,
+    interpret: bool = False,
+):
+    """Slab-streamed digest SpGEMM via the sorted-row uniform-width
+    pipeline.  Same contract as :func:`spgemm_streamed_seg` — every product
+    formed, every duplicate merged, per-slab digest fold — but C's rows are
+    visited in descending-flops order (digest is row-permutation
+    invariant).  Returns (nnz_total, checksum, truncated)."""
+    prep = seg2_prepare(a, b, flops_cap=flops_cap, pad_cap=pad_cap,
+                        slab_out_cap=slab_out_cap)
+    state = seg_zero_state()
+    for s in range(len(prep[1]["slabs"])):
+        state = seg2_step(b, prep, s, state, sr, interpret=interpret)
+    total_lo, total_hi, checksum, truncated = state
+    total = int(total_lo) + (int(total_hi) << 16)
+    return total, checksum, truncated
 
 
 def spgemm_streamed_seg(

@@ -180,14 +180,14 @@ def calculate_phases(
 def _col_slab_counts(b: DistSpMat, bounds: jax.Array) -> jax.Array:
     """Per-(phase, block) slab entry counts for column-slab phasing:
     counts[p, i, j] = nnz of block (i,j) with col in [bounds[p], bounds[p+1]).
-    One device pass; the host sizes each phase's physical slab from it."""
+    One sort per block + a searchsorted over the phase bounds — O(capacity)
+    peak memory regardless of phase count (the memory-bounding path must not
+    itself allocate a (phases, capacity) intermediate)."""
     idx = jnp.arange(b.capacity, dtype=jnp.int32)[None, None, :]
-    valid = idx < b.nnz[..., None]
-    c = b.col[None]  # (1, pr, pc, cap)
-    lo = bounds[:-1][:, None, None, None]
-    hi = bounds[1:][:, None, None, None]
-    inside = valid[None] & (c >= lo) & (c < hi)
-    return jnp.sum(inside, axis=-1).astype(jnp.int32)
+    c = jnp.where(idx < b.nnz[..., None], b.col, jnp.iinfo(jnp.int32).max)
+    c = jnp.sort(c, axis=-1)
+    pos = jax.vmap(jax.vmap(lambda cc: jnp.searchsorted(cc, bounds)))(c)
+    return jnp.moveaxis(pos[..., 1:] - pos[..., :-1], -1, 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("lo", "hi", "slab_cap"))
@@ -301,13 +301,13 @@ def _row_slab(a: DistSpMat, lo: int, hi: int,
 
 @jax.jit
 def _row_slab_counts(a: DistSpMat, bounds: jax.Array) -> jax.Array:
+    """Row-direction twin of :func:`_col_slab_counts` (sort + searchsorted,
+    O(capacity) peak memory)."""
     idx = jnp.arange(a.capacity, dtype=jnp.int32)[None, None, :]
-    valid = idx < a.nnz[..., None]
-    r = a.row[None]
-    lo = bounds[:-1][:, None, None, None]
-    hi = bounds[1:][:, None, None, None]
-    inside = valid[None] & (r >= lo) & (r < hi)
-    return jnp.sum(inside, axis=-1).astype(jnp.int32)
+    r = jnp.where(idx < a.nnz[..., None], a.row, jnp.iinfo(jnp.int32).max)
+    r = jnp.sort(r, axis=-1)
+    pos = jax.vmap(jax.vmap(lambda rr: jnp.searchsorted(rr, bounds)))(r)
+    return jnp.moveaxis(pos[..., 1:] - pos[..., :-1], -1, 0).astype(jnp.int32)
 
 
 def block_spgemm(a: DistSpMat, b: DistSpMat, br: int, bc: int,

@@ -103,3 +103,73 @@ def test_seg_single_slab_tiny():
     assert nnz == int((ref != 0).sum())
     np.testing.assert_allclose(cks, ref.sum(), rtol=1e-5)
     assert not bool(trunc)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("density", [0.04, 0.15])
+def test_seg2_digest_matches_dense(seed, density):
+    from combblas_tpu.ops.spgemm_seg import spgemm_streamed_seg2
+
+    m, k, n = 96, 80, 64
+    ad = _rand(m, k, density, seed)
+    bd = _rand(k, n, density, seed + 10)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    # tiny budgets force several slabs + at least one mid-class cut
+    nnz, cks, trunc = spgemm_streamed_seg2(
+        a, b, PLUS_TIMES, flops_cap=1 << 12, pad_cap=1 << 16,
+        interpret=True)
+    ref = ad.astype(np.float64) @ bd.astype(np.float64)
+    assert not bool(trunc)
+    assert nnz == int((ref != 0).sum())
+    np.testing.assert_allclose(cks, ref.sum(), rtol=1e-4)
+
+
+def test_seg2_matches_seg_skewed():
+    from combblas_tpu.ops.spgemm_seg import spgemm_streamed_seg2
+
+    rng = np.random.default_rng(7)
+    m = k = n = 200
+    ad = np.zeros((m, k), np.float32)
+    for i in range(m):
+        deg = min(int(rng.pareto(0.7) + 1), k)
+        cols = rng.choice(k, size=deg, replace=False)
+        ad[i, cols] = rng.random(deg).astype(np.float32) + 0.1
+    bd = (rng.random((k, n)) < 0.2).astype(np.float32) * 0.5
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    nnz_s, cks_s, tr_s = spgemm_streamed_seg(a, b, PLUS_TIMES, num_slabs=4,
+                                             interpret=True)
+    nnz_2, cks_2, tr_2 = spgemm_streamed_seg2(
+        a, b, PLUS_TIMES, flops_cap=1 << 13, pad_cap=1 << 16,
+        interpret=True)
+    assert not bool(tr_s) and not bool(tr_2)
+    assert nnz_2 == nnz_s
+    np.testing.assert_allclose(float(cks_2), float(cks_s), rtol=1e-5)
+
+
+def test_seg2_plan_invariants():
+    """Slab bounds cover all live rows; counts/padding consistent; every
+    slab's width strictly exceeds its heaviest row's product count."""
+    from combblas_tpu.ops.spgemm_seg import seg2_plan
+
+    rng = np.random.default_rng(3)
+    m = k = n = 300
+    ad = (rng.random((m, k)) < 0.05).astype(np.float32)
+    ad[5] = (rng.random(k) < 0.8)  # hub row
+    bd = (rng.random((k, n)) < 0.1).astype(np.float32)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    a2, cfg = seg2_plan(a, b, flops_cap=1 << 12, pad_cap=1 << 15)
+    bounds = cfg["bounds"]
+    assert bounds[0] == 0
+    rowfl_ref = (ad @ (bd != 0).astype(np.int64)).sum(axis=1)
+    assert bounds[-1] == int((rowfl_ref > 0).sum())
+    fl_sorted = np.sort(rowfl_ref[rowfl_ref > 0])[::-1]
+    for i, sl in enumerate(cfg["slabs"]):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        assert sl["cnt"] == hi - lo
+        assert sl["s_pad"] >= sl["cnt"]
+        assert (sl["s_pad"] * sl["w"]) % 32768 == 0
+        assert sl["w"] > fl_sorted[lo]  # strict: >= 1 trailing sentinel
+        assert sl["flops"] == int(fl_sorted[lo:hi].sum())
