@@ -1,20 +1,27 @@
 """Pallas-TPU SpMM: sparse (m, n) × dense (n, d) with VMEM-resident operands.
 
-Targets the distributed per-device regime (see ``parallel/dense.py:dist_spmm``)
-where the local X panel (nb, d) and output block (mb, d) fit VMEM — the usual
-case on a pod where nb = n/pc.  The kernel streams the nnz in row-sorted order
-through a grid over nnz tiles; each tile accumulates rows into the output with
-dynamic-slice loads of X rows (VPU) — gather+FMA at VMEM bandwidth, no HBM
-round-trips between tiles, which is precisely what the fused jnp gather/
-segment-sum path cannot guarantee once XLA spills intermediates.
+Targets shapes where the dense operand X (n, d) and output Y (m, d) fit VMEM
+— the per-device regime of ``parallel/dense.py:dist_spmm`` (local panels on a
+pod) and the bench's Roofline shapes.  The XLA gather+segment_sum formulation
+(:func:`combblas_tpu.ops.spmv.spmm`) materializes the (nnz, d) product tensor
+in HBM several times over and its 512-byte row gather runs at a small
+fraction of HBM bandwidth (measured ~24 GB/s effective at scale 16, d=128).
+This kernel keeps X and Y in VMEM for the whole pass and streams only the
+COO triples from HBM:
 
-Reference counterpart: the dense-output SpMM used by ``SpMMError``/
-``Roofline`` (``Friends.h:64`` row-major accumulation).
+- grid over nnz tiles; each tile's (row, col, val) ride SMEM as scalars;
+- entries processed in groups of 8 (one sublane block): 8 dynamic-slice row
+  loads of X -> (8, d) tile, scaled by the 8 vals;
+- rows are sorted (the SpCOO invariant), so each group is segmented by row
+  runs: a 3-step row-guarded prefix combine folds same-row products along
+  sublanes, and only each run's LAST sublane accumulates into Y (one +=
+  per distinct row — ~1 store per 8 entries on R-MAT degree profiles);
+- the trailing open run carries across groups and tiles in a (1, d) VMEM
+  scratch accumulator + SMEM carry row id, compress-kernel style.
 
-Correctness-first v0: per-element accumulation inside a fori_loop.  The jnp
-fallback (:func:`combblas_tpu.ops.spmv.spmm`) remains the default; use
-``spmm_pallas`` explicitly or via ``spmm(..., use_pallas=True)`` once
-benchmarked favorably for the shape at hand.
+Reference counterpart: the dense-output row-major accumulation of
+``Friends.h:64`` (``dcsc_gespmv``) as used by ``Applications/SpMMError.cpp``
+and ``ReleaseTests/Roofline.cpp``.
 """
 
 from __future__ import annotations
@@ -30,41 +37,120 @@ from combblas_tpu.ops.coo import SpCOO
 
 __all__ = ["spmm_pallas"]
 
+_T = 1024   # entries per grid tile
+_G = 8      # entries per vector group (sublane block)
 
-def _spmm_kernel(row_ref, col_ref, val_ref, nnz_ref, x_ref, out_ref):
-    cap = row_ref.shape[0]
-    nnz = nnz_ref[0]
-    out_ref[:] = jnp.zeros_like(out_ref)
 
-    def body(e, _):
-        @pl.when(e < nnz)
+def _spmm_kernel(m: int, d: int, total_tiles: int):
+    def kernel(row_ref, col_ref, val_ref, x_ref, out_ref,
+               acc_ref, carry_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
         def _():
-            r = row_ref[e]
-            c = col_ref[e]
-            v = val_ref[e]
-            xrow = x_ref[pl.ds(c, 1), :]
-            out_ref[pl.ds(r, 1), :] += v * xrow
-        return _
+            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            carry_ref[0] = -1
 
-    jax.lax.fori_loop(0, cap, lambda e, s: (body(e, s), s)[1], 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_G, d), 0)
+
+        def group(g, _):
+            base = g * _G
+            rows = [row_ref[base + i] for i in range(_G)]
+            xg = jnp.concatenate(
+                [x_ref[pl.ds(col_ref[base + i], 1), :] for i in range(_G)],
+                axis=0)
+            rvec = jnp.zeros((_G, d), jnp.int32)
+            vvec = jnp.zeros((_G, d), jnp.float32)
+            for i in range(_G):
+                rvec = jnp.where(sub == i, rows[i], rvec)
+                vvec = jnp.where(sub == i, val_ref[base + i], vvec)
+            prod = jnp.where(rvec < m, vvec * xg, 0.0)
+            # row-guarded inclusive prefix sum along sublanes; rows are
+            # monotone, so a simple equality guard cannot bridge runs
+            p = prod
+            for sh in (1, 2, 4):
+                ok = (sub >= sh) & (pltpu.roll(rvec, sh, 0) == rvec)
+                p = p + jnp.where(ok, pltpu.roll(p, sh, 0), 0.0)
+
+            # carried open run: flush if this group starts a different row
+            cr = carry_ref[0]
+
+            @pl.when((cr >= 0) & (cr != rows[0]))
+            def _():
+                out_ref[pl.ds(cr, 1), :] += acc_ref[:]
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                carry_ref[0] = -1
+
+            # completed runs -> Y (acc is nonzero only for the first run,
+            # and then only when that run continues the carried row)
+            for i in range(_G - 1):
+                ri = rows[i]
+
+                @pl.when((ri < m) & (ri != rows[i + 1]))
+                def _():
+                    out_ref[pl.ds(ri, 1), :] += p[i:i + 1, :] + acc_ref[:]
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
+                    carry_ref[0] = -1
+
+            # trailing (open) run joins the carry
+            rl = rows[_G - 1]
+
+            @pl.when(rl < m)
+            def _():
+                acc_ref[:] += p[_G - 1:_G, :]
+                carry_ref[0] = rl
+            return 0
+
+        jax.lax.fori_loop(0, _T // _G, group, 0)
+
+        @pl.when(b == total_tiles - 1)
+        def _():
+            cr = carry_ref[0]
+
+            @pl.when(cr >= 0)
+            def _():
+                out_ref[pl.ds(cr, 1), :] += acc_ref[:]
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmm_pallas(a: SpCOO, x: jax.Array, interpret: bool = False) -> jax.Array:
-    """y = A @ X (plus_times) via the Pallas kernel.  Requires row-sorted A
-    (the SpCOO invariant); operands must fit VMEM (m*d + n*d + cap floats)."""
+    """y = A @ X (plus_times) via the VMEM-resident streaming kernel.
+    Requires row-sorted A (the SpCOO invariant), d a multiple of 128, and
+    (m + n) * d * 4 bytes within VMEM."""
     m, n = a.shape
     d = x.shape[1]
-    return pl.pallas_call(
-        _spmm_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+    assert d % 128 == 0, d
+    cap = a.capacity
+    padded = -(-cap // _T) * _T
+    pad = padded - cap
+    # pads: row sentinel m (masked in-kernel), col 0, val 0
+    row = jnp.concatenate([jnp.minimum(a.row, m),
+                           jnp.full((pad,), m, jnp.int32)])
+    col = jnp.concatenate([jnp.minimum(a.col, n - 1),
+                           jnp.zeros((pad,), jnp.int32)])
+    val = jnp.concatenate([
+        jnp.where(a.mask(), a.val.astype(jnp.float32), 0.0),
+        jnp.zeros((pad,), jnp.float32)])
+    total_tiles = padded // _T
+    out = pl.pallas_call(
+        _spmm_kernel(m, d, total_tiles),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        grid=(total_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_T,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_T,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_T,), lambda b: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(a.row, a.col, a.val, a.nnz.reshape(1), x)
+    )(row, col, val, x.astype(jnp.float32))
+    return out.astype(x.dtype)

@@ -106,16 +106,24 @@ def spmsv_masked(
     return y, y_mask
 
 
-@functools.partial(jax.jit, static_argnames=("sr",))
-def spmm(a: SpCOO, x: jax.Array, sr: Semiring = PLUS_TIMES) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("sr", "use_pallas"))
+def spmm(a: SpCOO, x: jax.Array, sr: Semiring = PLUS_TIMES,
+         use_pallas: bool = False) -> jax.Array:
     """Sparse (m, n) × tall-dense (n, d) -> dense (m, d).
 
-    Gather rows of X at a.col, scale by vals, segment-reduce by row.  For the
-    plus_times ring on wide d this is the bandwidth-roofline kernel the bench
-    exercises (reference's SpMM/Roofline path); a Pallas variant lives in
-    :mod:`combblas_tpu.ops.pallas.spmm_kernel`.
+    Default path: gather rows of X at a.col, scale by vals, segment-reduce
+    by row.  ``use_pallas=True`` routes plus_times workloads with d a
+    multiple of 128 through the VMEM-resident streaming kernel
+    (:func:`combblas_tpu.ops.pallas.spmm_kernel.spmm_pallas`) — the fast
+    path for the Roofline/SpMMError shapes.
     """
     m, n = a.shape
+    if (use_pallas and sr.add_kind == "sum" and x.ndim == 2
+            and x.shape[1] % 128 == 0
+            and (m + n) * x.shape[1] * 4 < 100 * 2**20):
+        from combblas_tpu.ops.pallas.spmm_kernel import spmm_pallas
+
+        return spmm_pallas(a, x)
     valid = a.mask()
     xg = x[jnp.minimum(a.col, n - 1)]  # (cap, d)
     prod = sr.mul(a.val[:, None], xg)

@@ -38,6 +38,15 @@ def main():
     ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
     ap.add_argument("--seg", action="store_true",
                     help="segmented (within-row batched sort) pipeline")
+    ap.add_argument("--seg2", action="store_true",
+                    help="sorted-row uniform-width pipeline (seg2)")
+    ap.add_argument("--two-input", action="store_true",
+                    help="A x B of two independent draws (key 42 / 43) "
+                         "instead of A^2 — the reference MultTime shape")
+    ap.add_argument("--scramble", action="store_true",
+                    help="independently scrambled draws (decorrelated "
+                         "hubs — the reference benchmark family per "
+                         "bench_logs/ref_workload provenance)")
     ap.add_argument("--no-crossval", action="store_true")
     args = ap.parse_args()
 
@@ -89,22 +98,52 @@ def run_scale(scale, args):
     SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
     if True:
         t0 = time.time()
-        a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
-                        probs=SSCA)
+        from combblas_tpu.gen.rmat import edges_to_coo, rmat_edges
+        scramble = bool(getattr(args, "scramble", False))
+
+        def draw(seed):
+            n = 1 << scale
+            r, c = rmat_edges(jax.random.PRNGKey(seed), scale, 8 * n,
+                              probs=SSCA, scramble=scramble)
+            cap = 1 << int(np.ceil(np.log2(8 * n)))
+            return edges_to_coo(r, c, (n, n), cap)
+
+        a = draw(42)
+        b = draw(43) if args.two_input else a
         nnz_a = int(a.nnz)
         log({"ev": "gen", "scale": scale, "nnz_a": nnz_a,
+             "nnz_b": int(b.nnz), "two_input": bool(args.two_input),
+             "scramble": scramble,
              "secs": round(time.time() - t0, 1)})
         t0 = time.time()
-        flops = int(spgemm_flops(a, a))
+        flops = int(spgemm_flops(a, b))
         num_slabs = max(-(-flops // args.max_flops_cap), 2)
-        if args.seg:
+        if args.seg2:
+            from combblas_tpu.ops.spgemm_seg import (
+                seg2_prepare,
+                seg2_step,
+            )
+
+            prep = seg2_prepare(a, b, flops_cap=args.max_flops_cap)
+            cfg = prep[1]
+            num_slabs = len(cfg["slabs"])
+            log({"ev": "plan", "scale": scale, "flops": flops,
+                 "pipeline": "seg2", "slabs": num_slabs,
+                 "shapes": len(cfg["shapes"]),
+                 "padded": cfg["padded"],
+                 "pad_ratio": round(cfg["pad_ratio"], 3),
+                 "secs": round(time.time() - t0, 1)})
+
+            def step(s, state):
+                return seg2_step(b, prep, s, state, PLUS_TIMES)
+        elif args.seg:
             from combblas_tpu.ops.spgemm_seg import (
                 seg_prepare,
                 seg_step,
                 seg_zero_state,
             )
 
-            prep = seg_prepare(a, a, num_slabs)
+            prep = seg_prepare(a, b, num_slabs)
             num_slabs = len(prep[0]["bounds"]) - 1
             log({"ev": "plan", "scale": scale, "flops": flops,
                  "pipeline": "seg", "slabs": num_slabs,
@@ -114,10 +153,10 @@ def run_scale(scale, args):
                  "secs": round(time.time() - t0, 1)})
 
             def step(s, state):
-                return seg_step(a, a, prep, s, state, PLUS_TIMES)
+                return seg_step(a, b, prep, s, state, PLUS_TIMES)
         else:
             bounds, span_cap, slab_nnz_cap, chunk_cap, worst_fl = \
-                _pallas_slab_plan(a, a, num_slabs, wide=True)
+                _pallas_slab_plan(a, b, num_slabs, wide=True)
             num_slabs = len(bounds) - 1
             slab_out_cap = max(
                 -(-round_capacity_frac(max(worst_fl, 2048)) // 128) * 128,
@@ -129,12 +168,12 @@ def run_scale(scale, args):
                  "slab_out_cap": int(slab_out_cap),
                  "secs": round(time.time() - t0, 1)})
 
-            a_rp = a.row_ptr()  # slab-invariant B-side row map, once
-            a_tables = _tables_2d(a)
+            a_rp = b.row_ptr()  # slab-invariant B-side row map, once
+            a_tables = _tables_2d(b)
 
             def step(s, state):
                 return _pallas_slab_digest_step(
-                    a, a, a_rp, a_tables, bounds_dev,
+                    a, b, a_rp, a_tables, bounds_dev,
                     jnp.asarray(s, jnp.int32), *state,
                     PLUS_TIMES, span_cap=span_cap,
                     slab_nnz_cap=slab_nnz_cap,
@@ -144,8 +183,21 @@ def run_scale(scale, args):
         zero = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
         t0 = time.time()
-        w = step(0, zero)
-        _ = int(w[0])
+        if args.seg2:
+            # warm every distinct compiled shape (digest state discarded)
+            seen = {}
+            for s, sl in enumerate(prep[1]["slabs"]):
+                key = (sl["w"], sl["s_pad"], sl["nnz_cap"], sl["chunk_cap"])
+                seen.setdefault(key, s)
+            for i, s in enumerate(seen.values()):
+                w = step(s, zero)
+                _ = int(w[0])
+                if (i + 1) % 10 == 0:
+                    log({"ev": "warm_progress", "done": i + 1,
+                         "of": len(seen), "t_secs": round(time.time() - t0, 1)})
+        else:
+            w = step(0, zero)
+            _ = int(w[0])
         log({"ev": "warm", "scale": scale,
              "secs": round(time.time() - t0, 1)})
 
@@ -168,7 +220,10 @@ def run_scale(scale, args):
                 best = rec
         ref = {21: 51.3, 22: 109.1, 23: 224.3}.get(scale)
         summary = {"ev": "summary", "scale": scale, "nnz_a": nnz_a,
-                   "pipeline": "seg" if args.seg else "flat",
+                   "pipeline": ("seg2" if args.seg2 else
+                                "seg" if args.seg else "flat"),
+                   "two_input": bool(args.two_input),
+                   "scramble": bool(getattr(args, "scramble", False)),
                    "flops": flops, "slabs": num_slabs,
                    "best_secs": best["secs"], "nnz_c": best["nnz_c"],
                    "checksum": best["checksum"],
@@ -189,7 +244,7 @@ def run_scale(scale, args):
             nslabs = max(mem_slabs, 2) if wide else max(
                 key_slabs, mem_slabs, 2)
             out_cap = round_capacity_frac(best["nnz_c"])
-            c = spgemm_pallas_rowchunked(a, a, num_slabs=nslabs, wide=wide,
+            c = spgemm_pallas_rowchunked(a, b, num_slabs=nslabs, wide=wide,
                                          out_capacity=out_cap)
             nnz_m = int(c.nnz)
             v = np.asarray(c.val)[:nnz_m]

@@ -184,3 +184,25 @@ def test_bfs_dir_opt_dist_ring():
     A = DistSpMat.from_local(SpCOO.from_dense(d), ProcGrid.make())
     p, l = bfs_dir_opt_dist(A, 3)
     np.testing.assert_array_equal(np.asarray(l)[:n], bfs_levels_reference(d, 3))
+
+
+def test_bfs_push_matches_while_loop():
+    """Push BFS (Pallas frontier expansion) levels match the while_loop BFS
+    and validate Graph500-style (MultTest-style cross-implementation
+    equivalence, ``TopDownBFS.cpp:448-457``)."""
+    import jax
+    import numpy as np
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.models.bfs import (
+        bfs_local,
+        bfs_push_local,
+        validate_bfs,
+    )
+
+    a = rmat_matrix(jax.random.PRNGKey(9), scale=10, edgefactor=8,
+                    symmetrize=True, remove_self_loops=True)
+    p1, l1 = bfs_local(a, 3)
+    p2, l2 = bfs_push_local(a, 3, interpret=True)
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    assert (l1 == l2).all()
+    assert validate_bfs(a.to_dense(), 3, np.asarray(p2), l2)

@@ -25,3 +25,22 @@ def test_spmm_pallas_empty():
     x = np.ones((5, 4), np.float32)
     y = np.asarray(spmm_pallas(a, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y, np.zeros((6, 4)))
+
+
+def test_spmm_pallas_matches_dense():
+    import numpy as np
+    import jax.numpy as jnp
+    from combblas_tpu.ops.coo import SpCOO
+    from combblas_tpu.ops.pallas.spmm_kernel import spmm_pallas
+
+    rng = np.random.default_rng(0)
+    m, n, d = 300, 257, 128
+    ad = (rng.random((m, n)) < 0.05) * rng.random((m, n))
+    ad[7] = (rng.random(n) < 0.6) * 1.0  # heavy row (multi-group run)
+    ad[8] = 0                            # empty row
+    ad = ad.astype(np.float32)
+    a = SpCOO.from_dense(ad)
+    x = rng.random((n, d)).astype(np.float32)
+    y = np.asarray(spmm_pallas(a, jnp.asarray(x), interpret=True))
+    ref = ad @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
