@@ -336,6 +336,58 @@ def bench_spmsv(scale: int, iters: int, frontier_frac: float = 0.01):
                 edges_per_s=int(int(a.nnz) / dt))
 
 
+def bench_mcl(scale: int, iters_timed: int = 3):
+    """MCL (HipMCL) end-to-end on one chip — the flagship application the
+    phased/pruned SpGEMM machinery exists for (``Applications/MCL.cpp:515-686``,
+    the IPDPS'20 HipMCL loop).  Times the full per-iteration pipeline
+    (expansion SpGEMM + prune/select/recover + inflation + column
+    renormalization + chaos) on an SSCA-style R-MAT, then runs to
+    convergence and reports cluster count + iterations."""
+    import jax
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.models.mcl import (
+        MCLParams,
+        _inflate,
+        _mcl_prune,
+        chaos,
+        make_col_stochastic,
+        mcl_local,
+    )
+    from combblas_tpu.ops.spgemm import spgemm_auto
+
+    a0 = rmat_matrix(jax.random.PRNGKey(21), scale=scale, edgefactor=8,
+                     probs=SSCA, symmetrize=True, remove_self_loops=True)
+    p = MCLParams()
+    n = a0.shape[1]
+    cap = max(a0.capacity,
+              1 << int(np.ceil(np.log2(max(min(p.select * n, n * n), 8)))))
+
+    def one_iter(m):
+        c = spgemm_auto(m, m, out_capacity=None)
+        c = _mcl_prune(c, p, min(cap, c.capacity))
+        c = _inflate(c, p.inflation)
+        c = make_col_stochastic(c)
+        return c, float(chaos(c))
+
+    a = make_col_stochastic(a0)
+    a, ch = one_iter(a)  # warm + first real iteration
+    times = []
+    m = a
+    for _ in range(iters_timed):
+        t0 = time.perf_counter()
+        m, ch = one_iter(m)
+        times.append(time.perf_counter() - t0)
+    # full convergence run for the application-level numbers
+    t0 = time.perf_counter()
+    labels, iters = mcl_local(a0, p)
+    total = time.perf_counter() - t0
+    nclusters = int(len(np.unique(np.asarray(labels))))
+    return dict(scale=scale, nnz=int(a0.nnz),
+                secs_per_iter=round(float(np.mean(times)), 3),
+                converged_iters=int(iters),
+                total_secs=round(total, 2), clusters=nclusters)
+
+
 def bench_ewise(iters: int, inner: int = 256):
     """EWiseApply roofline sweep (``ReleaseTests/Roofline.cpp:69-81``).
 
@@ -435,6 +487,7 @@ def main():
                                            iters=args.iters)),
             ("bfs_gteps", bench_bfs, dict(scale=18, iters=1)),
             ("spmsv", bench_spmsv, dict(scale=14, iters=args.iters)),
+            ("mcl", bench_mcl, dict(scale=14)),
             ("ewise_gteps", bench_ewise, dict(iters=args.iters)),
         ):
             try:

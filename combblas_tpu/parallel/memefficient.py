@@ -166,13 +166,23 @@ def summa_spgemm_staged(
 
 def calculate_phases(
     a: DistSpMat, b: DistSpMat, per_device_mem_bytes: float,
-    bytes_per_product: int = 24,
+    bytes_per_product: int = 24, est_c_nnz: float | None = None,
 ) -> int:
     """Phase count from the memory model (``CalculateNumberOfPhases``,
-    ``ParFriends.h:733``): smallest p such that the per-phase expansion fits
-    the per-device budget."""
+    ``ParFriends.h:733``): smallest p such that the per-phase expansion
+    PLUS the accumulated output fits the per-device budget.  The output
+    term uses ``est_c_nnz`` when given (the Cohen sampling estimate — the
+    reference's ``EstPerProcessNnzSpMV`` path, ``ParFriends.h:2810,3215``),
+    so sizing costs 2R SpMVs instead of forming the product symbolically."""
     flops = int(jnp.max(summa_flops(a, b)))
     need = flops * bytes_per_product
+    if est_c_nnz is not None:
+        # accumulated C is resident across phases: 12 bytes/entry (row,
+        # col, val), spread over the grid
+        per_dev_out = est_c_nnz * 12 / max(a.grid.pr * a.grid.pc, 1)
+        avail = max(per_device_mem_bytes - per_dev_out,
+                    per_device_mem_bytes * 0.25)
+        return max(1, int(np.ceil(need / max(avail, 1.0))))
     return max(1, int(np.ceil(need / max(per_device_mem_bytes, 1.0))))
 
 
@@ -243,7 +253,15 @@ def mem_efficient_spgemm(
     grid = a.grid
     mb, nb = block_dims(b.gshape, grid)
     if phases is None:
-        phases = calculate_phases(a, b, per_device_mem_bytes)
+        # size phases from the Cohen sampling estimate of nnz(C) — the
+        # estimator on the hot path, as the reference's 3D memory split
+        # does (``ParFriends.h:3215``); exact flops remain the expansion
+        # term, the estimate prices the resident accumulated output
+        from combblas_tpu.parallel.spmv import est_nnz_spgemm_sampling
+
+        est_c = est_nnz_spgemm_sampling(a, b, jax.random.PRNGKey(0))
+        phases = calculate_phases(a, b, per_device_mem_bytes,
+                                  est_c_nnz=est_c)
     phases = min(phases, nb)
     slab = -(-nb // phases)
     bounds = np.minimum(np.arange(phases + 1, dtype=np.int32) * slab, nb)

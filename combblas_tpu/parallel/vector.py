@@ -213,11 +213,13 @@ def dist_sort(
 )
 def _sort_plan(x, grid: ProcGrid, length=None, descending=False,
                oversample=32):
-    """Planning pass for :func:`dist_sort_auto`: per-device bucket send
-    counts (p, p) and per-device received totals (p,) under the same
-    splitters :func:`dist_sort` would pick — the symbolic pass that lets the
-    host size the exchange buffers to the ACTUAL max bucket (usort's
-    alltoallv counts, ``par::sampleSort``)."""
+    """Planning pass for :func:`dist_sort_auto`: the global max per-(src,
+    dst) bucket count (1,) and the per-device received totals (p,), both
+    REPLICATED, under the same splitters :func:`dist_sort` would pick — the
+    symbolic pass that lets the host size the exchange buffers to the
+    ACTUAL max bucket (usort's alltoallv counts, ``par::sampleSort``).
+    Replication makes the plan readable from every controller of a
+    multi-process pod."""
     p = grid.nprocs
     n_pad = x.shape[0]
     chunk = n_pad // p
@@ -248,14 +250,19 @@ def _sort_plan(x, grid: ProcGrid, length=None, descending=False,
             jnp.ones((chunk,), jnp.int32), dest, num_segments=p)
         # received total = sum over sources of their count for me
         recv = jax.lax.all_to_all(lens[:, None], axes, 0, 0).reshape(p)
-        return lens[None, :], jnp.sum(recv)[None]
+        # REPLICATED outputs: multi-controller hosts must be able to read
+        # the plan without owning every shard (tests/_multihost_worker.py)
+        lens_max = jax.lax.pmax(jnp.max(lens), axes)
+        mine_all = jax.lax.all_gather(
+            jnp.sum(recv)[None], axes, tiled=True)
+        return lens_max[None], mine_all
 
-    lens, mine = shard_map(
+    lens_max, mine = shard_map(
         f, mesh=grid.mesh, in_specs=(P(axes),),
-        out_specs=(P(axes, None), P(axes)),
+        out_specs=(P(), P()),
         check_vma=False,
     )(x)
-    return lens, mine
+    return lens_max, mine
 
 
 def dist_sort_auto(x, grid: ProcGrid, *payloads, length=None,
@@ -270,11 +277,11 @@ def dist_sort_auto(x, grid: ProcGrid, *payloads, length=None,
     p = grid.nprocs
     n_pad = x.shape[0]
     chunk = n_pad // p
-    lens, mine = _sort_plan(x, grid, length=length, descending=descending,
-                            oversample=oversample)
-    lens = np.asarray(lens)
+    lens_max, mine = _sort_plan(x, grid, length=length,
+                                descending=descending,
+                                oversample=oversample)
     mine = np.asarray(mine)
-    bucket_cap = max(int(lens.max()), 1)
+    bucket_cap = max(int(np.asarray(lens_max).max()), 1)
     bucket_cap = min(-(-bucket_cap // 8) * 8, chunk)
     # device-offset span of the rebalance: device d's sorted run covers
     # global [pref[d], pref[d]+mine[d]) and must land on even chunks

@@ -156,3 +156,27 @@ def test_block_spgemm_iterator():
         acc += np.asarray(cij.to_dense())
     assert seen == [(0, 0), (0, 1), (1, 0), (1, 1)]
     np.testing.assert_allclose(acc, da @ db, rtol=1e-5, atol=1e-6)
+
+
+def test_phases_from_estimator_match_exact():
+    """Cohen-estimator phase sizing stays within 2x of exact-output
+    sizing (the estimator is on the hot path; ``ParFriends.h:733,2810``)."""
+    import jax
+    import numpy as np
+    from combblas_tpu.ops.coo import SpCOO
+    from combblas_tpu.parallel.dist import DistSpMat
+    from combblas_tpu.parallel.grid import ProcGrid
+    from combblas_tpu.parallel.spmv import est_nnz_spgemm_sampling
+
+    rng = np.random.default_rng(0)
+    n = 64
+    ad = (rng.random((n, n)) < 0.12).astype(np.float32)
+    grid = ProcGrid.make(2, 2, devices=jax.devices()[:4])
+    a = DistSpMat.from_local(SpCOO.from_dense(ad), grid)
+    exact_nnz = int((((ad @ ad) != 0)).sum())
+    est = est_nnz_spgemm_sampling(a, a, jax.random.PRNGKey(1), rounds=32)
+    assert 0.5 * exact_nnz <= est <= 2.0 * exact_nnz
+    mem = 64_000.0
+    p_est = calculate_phases(a, a, mem, est_c_nnz=est)
+    p_exact = calculate_phases(a, a, mem, est_c_nnz=float(exact_nnz))
+    assert max(p_est, p_exact) <= 2 * min(p_est, p_exact)

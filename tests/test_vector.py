@@ -192,9 +192,10 @@ def test_dist_sort_auto_matches_and_bounds(grid):
         np.testing.assert_array_equal(
             np.asarray(xs)[:n], np.sort(x), err_msg=name)
     # benign input: max per-(src,dst) bucket is ~chunk/p, far below chunk
-    lens, mine = _sort_plan(_put(cases["uniform"], grid), grid, length=n)
+    lens_max, mine = _sort_plan(_put(cases["uniform"], grid), grid,
+                                length=n)
     chunk = -(-n // p)
-    assert int(np.asarray(lens).max()) <= 4 * chunk // p + 8
+    assert int(np.asarray(lens_max).max()) <= 4 * chunk // p + 8
 
 
 def test_dist_sort_auto_payload(grid):
