@@ -54,69 +54,106 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-# Reference scale-22 MultTime Synch SUMMA, 1 core (BASELINE.md,
-# ReleaseTests/SCALE22RMATRMAT/btwcent1.1254794.out)
-REF_SCALE22_SECS = 109.1
-# Reference throughput for the G500-ef16 secondary line: scale-21 R-MAT A²,
-# 51.3 s/iter on 1 core with flops(scale-21 A²) ≈ 1.600e9 on the SSCA-style
-# R-MAT the logs used.
-REF_PRODUCTS_PER_S = 1.600e9 / 51.3
+# Reference MultTime Synch SUMMA wall times, 1 core (BASELINE.md,
+# ReleaseTests/SCALE2{1,2,3}RMATRMAT/btwcent1.*.out)
+REF_SCALE_SECS = {21: 51.3, 22: 109.1, 23: 224.3}
+REF_SCALE22_SECS = REF_SCALE_SECS[22]
+
+# Measured flop counts for the reference's SpGEMM benchmark workload family
+# (SSCA initiator .6/.4-thirds, edgefactor 8 — 3DSpGEMM/mpipspgemm.cpp:135),
+# produced by the reference's OWN generator (DistEdgeList single-rank path)
+# and counted by the reference's OWN estimateFLOP (mtSpGEMM.h:1058).
+# Committed artifact: bench_logs/ref_workload_provenance.log (harness:
+# bench_ref/ref_workload.cpp).  'axb' = two structurally-similar draws (the
+# MultTime input1 x input2 shape), 'a2' = one draw squared, 'scrambled' =
+# two independently scrambled draws (hubs decorrelated).
+REF_FAMILY_FLOPS = {
+    21: dict(axb=3_194_475_359, a2=3_191_413_588, scrambled=121_955_706),
+    22: dict(axb=8_033_094_533, a2=8_022_940_994, scrambled=261_572_390),
+}
+# Upper bound on the reference's demonstrated per-core rate: its logged
+# wall time against the HEAVIEST plausible reading of its inputs
+# (structurally-similar AxB).  Era-scaling evidence in the provenance log
+# (the reference kernel needs ~200-450 s single-thread for that workload on
+# a 2021 Xeon, vs 51.3 s logged on a 2009 core) says the actual inputs were
+# almost certainly the far lighter scrambled family (~2.4 Mproducts/s), so
+# dividing by this bound UNDERSTATES our advantage.
+REF_BEST_RATE = {s: REF_FAMILY_FLOPS[s]["axb"] / REF_SCALE_SECS[s]
+                 for s in REF_FAMILY_FLOPS}
+REF_PRODUCTS_PER_S = REF_BEST_RATE[22]  # ~73.6 M products/s
 
 SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
 
 
 def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
                    deadline: float | None = None):
-    """Headline: SSCA R-MAT scale-`scale` A², slab-streamed wide-key
-    pipeline (every product formed + merged; output digested per slab).
+    """Headline: A² of the REFERENCE's own generator output at scale
+    ``scale`` (SSCA ef8, deterministic seed — bench_ref/inputs.py), through
+    the sorted-row uniform-width streamed pipeline (seg2: every product
+    formed + merged; output digested per slab).
 
-    A² rather than A×B-of-independent-draws: the reference's input1_0 x
-    input2_0 were *structurally similar* R-MATs whose degree skews align;
-    independently scrambled draws decorrelate (flops collapse ~50x), so
-    squaring one matrix is the faithful (and harder) workload.
+    Running the reference generator's matrix removes every workload
+    ambiguity: its flop count (~8.0e9 at scale 22) equals the reference's
+    own estimateFLOP on the heaviest plausible reading of its benchmark
+    inputs, so beating the logged 109.1 s wall time here beats the
+    reference under EVERY interpretation of what input1/input2 were.  If
+    the native harness cannot produce the dump, falls back to our threefry
+    R-MAT (a ~1.8x HEAVIER workload — its in/out degrees are fully
+    correlated, the reference generator's per-level noise decorrelates
+    them).
 
     ``deadline`` is an absolute ``time.perf_counter()`` wall-clock cutoff:
     the slab loop syncs per slab and stops when it would overrun, reporting
-    partial slabs/s (slabs are equal-flops by construction, so the rate over
-    completed slabs IS the full-run rate)."""
+    partial slabs/s."""
     import jax
-    import jax.numpy as jnp
-    from combblas_tpu.gen.rmat import rmat_matrix
     from combblas_tpu.ops.spgemm import spgemm_flops
     from combblas_tpu.ops.spgemm_seg import (
-        seg_prepare,
-        seg_step,
+        seg2_prepare,
+        seg2_step,
         seg_zero_state,
     )
     from combblas_tpu.semiring import PLUS_TIMES
 
-    a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
-                    probs=SSCA)
+    workload = f"refgen_ssca_ef8_A2_streamed_seg2"
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench_ref"))
+        from inputs import load_ref_coo
+
+        a = load_ref_coo(scale)
+    except Exception as e:
+        from combblas_tpu.gen.rmat import rmat_matrix
+
+        a = rmat_matrix(jax.random.PRNGKey(42), scale=scale, edgefactor=8,
+                        probs=SSCA)
+        workload = f"threefry_ssca_ef8_A2_streamed_seg2 (ref dump: {e})"
     flops = int(spgemm_flops(a, a))
-    num_slabs = max(-(-flops // max_flops_cap), 2)
-    # segmented (within-row batched sort) pipeline — measured on chip:
-    # scale-21 51.4 s (= the reference core's 51.3 s wall at 3.7x the
-    # flops), scale-22 141.4 s (bench_logs/headline2*_seg_fc28.log)
-    prep = seg_prepare(a, a, num_slabs)
-    num_slabs = len(prep[0]["bounds"]) - 1
+    prep = seg2_prepare(a, a, flops_cap=max_flops_cap)
+    cfg = prep[1]
+    num_slabs = len(cfg["slabs"])
 
     def step(s, state):
-        return seg_step(a, a, prep, s, state, PLUS_TIMES)
+        return seg2_step(a, prep, s, state, PLUS_TIMES)
 
     zero = seg_zero_state()
-    # compile + warm with the first slab only (a full warm run would burn
-    # the whole budget before a single timed number lands)
+    # compile + warm with the first slab only; remaining shapes compile on
+    # first use inside the timed loop (persistent cache makes repeat runs
+    # warm) — the deadline check keeps cold compiles from overrunning
     wstate = step(0, zero)
     _ = int(wstate[0])  # hard sync via scalar pull
     slab_secs = []
     state = zero
     done = 0
+    flops_done = 0
     t0 = time.perf_counter()
     for s in range(num_slabs):
         ts = time.perf_counter()
         state = step(s, state)
         _ = int(state[0])  # per-slab sync: timing + deadline check
         slab_secs.append(time.perf_counter() - ts)
+        flops_done += cfg["slabs"][s]["flops"]
         done = s + 1
         if deadline is not None and done < num_slabs:
             mean = sum(slab_secs) / len(slab_secs)
@@ -125,18 +162,18 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     dt = time.perf_counter() - t0
     total_lo, total_hi, checksum, truncated = state
     partial = done < num_slabs
-    flops_done = flops * done / num_slabs
     out = dict(
         scale=scale,
-        workload="ssca_ef8_A2_streamed",
+        workload=workload,
         nnz_a=int(a.nnz),
         flops=flops,
+        pad_ratio=round(cfg["pad_ratio"], 3),
         slabs_done=done,
         slabs=num_slabs,
         partial=partial,
         truncated=bool(truncated),
         secs=round(dt, 3),
-        est_full_secs=round(dt * num_slabs / done, 3),
+        est_full_secs=round(dt * flops / max(flops_done, 1), 3),
         products_per_s=flops_done / dt,
     )
     if not partial:
@@ -512,7 +549,7 @@ def main():
             "committed_log": "bench_logs/",
         }), flush=True)
         return
-    ref_secs = {21: 51.3, 22: REF_SCALE22_SECS, 23: 224.3}.get(args.scale)
+    ref_secs = REF_SCALE_SECS.get(args.scale)
     try:
         deadline = t_start + args.budget
         r = bench_spgemm22(args.scale, args.iters, args.max_flops_cap,
@@ -520,16 +557,17 @@ def main():
     except Exception as e:
         print(json.dumps({"metric": metric, "error": str(e)}), flush=True)
         return
+    ref_rate = REF_BEST_RATE.get(args.scale, REF_PRODUCTS_PER_S)
     line = {
         "metric": metric,
         "value": round(r["products_per_s"] / 1e6, 2),
         "unit": "Mproducts/s",
-        # products/s vs the reference's measured per-core rate at this
-        # workload family (scale-21/22 MultTime logs + its flop estimate);
-        # detail carries the raw wall-time ratio too — our generator's skew
-        # makes this A×B ~4x the reference inputs' flops, so the time ratio
-        # understates the rate ratio
-        "vs_baseline": round(r["products_per_s"] / REF_PRODUCTS_PER_S, 3),
+        # products/s vs the reference's best-case demonstrated per-core
+        # rate (its logged wall time over the measured flops of the
+        # HEAVIEST plausible reading of its inputs — see REF_BEST_RATE
+        # provenance above); the workload is the reference generator's own
+        # matrix, so detail's wall-time ratio is equal-workload-or-harder
+        "vs_baseline": round(r["products_per_s"] / ref_rate, 3),
         "detail": {k: v for k, v in r.items() if k != "products_per_s"},
     }
     if ref_secs is not None:
