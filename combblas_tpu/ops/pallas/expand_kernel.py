@@ -122,11 +122,16 @@ def _expand_kernel(sr: Semiring):
     def kernel(meta_ref, metaf_ref, bc_ref, bv_ref, okey_ref, oval_ref,
                scr_c, scr_v, sems):
         def issue(k, _):
-            s = meta_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
-                                  sems.at[k, 0]).start()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
-                                  sems.at[k, 1]).start()
+            # dummy chunks (vlen == 0, the cap slack) must not issue DMAs:
+            # with pow4-rounded chunk caps they would otherwise stream
+            # gigabytes of dead B rows per run
+            @pl.when(meta_ref[k, 2] > 0)
+            def _():
+                s = meta_ref[k, 0]
+                pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
+                                      sems.at[k, 0]).start()
+                pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
+                                      sems.at[k, 1]).start()
             return 0
 
         jax.lax.fori_loop(0, _CPB, issue, 0, unroll=True)
@@ -139,10 +144,14 @@ def _expand_kernel(sr: Semiring):
             vlen = meta_ref[k, 2]
             kb = meta_ref[k, 3]
             av = metaf_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_c.at[k], sems.at[k, 0]).wait()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_v.at[k], sems.at[k, 1]).wait()
+            @pl.when(vlen > 0)
+            def _():
+                pltpu.make_async_copy(
+                    bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_c.at[k], sems.at[k, 0]).wait()
+                pltpu.make_async_copy(
+                    bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_v.at[k], sems.at[k, 1]).wait()
             idx = (lane2 + mis) % CH
             wrap = (lane2 + mis) >= CH
             cr = jnp.take_along_axis(scr_c[k], idx, axis=1)
@@ -176,11 +185,16 @@ def _expand_compact_kernel(sr: Semiring, out_rows: int, total_steps: int):
             st[1] = 0   # output row cursor
 
         def issue(k, _):
-            s = meta_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
-                                  sems.at[k, 0]).start()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
-                                  sems.at[k, 1]).start()
+            # dummy chunks (vlen == 0, the cap slack) must not issue DMAs:
+            # with pow4-rounded chunk caps they would otherwise stream
+            # gigabytes of dead B rows per run
+            @pl.when(meta_ref[k, 2] > 0)
+            def _():
+                s = meta_ref[k, 0]
+                pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
+                                      sems.at[k, 0]).start()
+                pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
+                                      sems.at[k, 1]).start()
             return 0
 
         jax.lax.fori_loop(0, _CPB, issue, 0, unroll=True)
@@ -194,10 +208,14 @@ def _expand_compact_kernel(sr: Semiring, out_rows: int, total_steps: int):
             vlen = meta_ref[k, 2]
             kb = meta_ref[k, 3]
             av = metaf_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_c.at[k], sems.at[k, 0]).wait()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_v.at[k], sems.at[k, 1]).wait()
+            @pl.when(vlen > 0)
+            def _():
+                pltpu.make_async_copy(
+                    bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_c.at[k], sems.at[k, 0]).wait()
+                pltpu.make_async_copy(
+                    bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_v.at[k], sems.at[k, 1]).wait()
 
             @pl.when(vlen > 0)
             def _():
@@ -362,11 +380,16 @@ def _expand_compact_wide_kernel(sr: Semiring, out_rows: int,
             st[1] = 0   # output row cursor
 
         def issue(k, _):
-            s = meta_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
-                                  sems.at[k, 0]).start()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
-                                  sems.at[k, 1]).start()
+            # dummy chunks (vlen == 0, the cap slack) must not issue DMAs:
+            # with pow4-rounded chunk caps they would otherwise stream
+            # gigabytes of dead B rows per run
+            @pl.when(meta_ref[k, 2] > 0)
+            def _():
+                s = meta_ref[k, 0]
+                pltpu.make_async_copy(bc_ref.at[pl.ds(s, 2)], scr_c.at[k],
+                                      sems.at[k, 0]).start()
+                pltpu.make_async_copy(bv_ref.at[pl.ds(s, 2)], scr_v.at[k],
+                                      sems.at[k, 1]).start()
             return 0
 
         jax.lax.fori_loop(0, _CPB, issue, 0, unroll=True)
@@ -380,10 +403,14 @@ def _expand_compact_wide_kernel(sr: Semiring, out_rows: int,
             vlen = meta_ref[k, 2]
             arow = meta_ref[k, 4]
             av = metaf_ref[k, 0]
-            pltpu.make_async_copy(bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_c.at[k], sems.at[k, 0]).wait()
-            pltpu.make_async_copy(bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
-                                  scr_v.at[k], sems.at[k, 1]).wait()
+            @pl.when(vlen > 0)
+            def _():
+                pltpu.make_async_copy(
+                    bc_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_c.at[k], sems.at[k, 0]).wait()
+                pltpu.make_async_copy(
+                    bv_ref.at[pl.ds(meta_ref[k, 0], 2)],
+                    scr_v.at[k], sems.at[k, 1]).wait()
 
             @pl.when(vlen > 0)
             def _():

@@ -122,7 +122,11 @@ def spmm_pallas(a: SpCOO, x: jax.Array, interpret: bool = False) -> jax.Array:
     (m + n) * d * 4 bytes within VMEM."""
     m, n = a.shape
     d = x.shape[1]
-    assert d % 128 == 0, d
+    if d % 128:  # lane-pad narrow X; the kernel wants full 128-lane rows
+        dp = -(-d // 128) * 128
+        xp = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], dp - d), x.dtype)], axis=1)
+        return spmm_pallas(a, xp, interpret=interpret)[:, :d]
     cap = a.capacity
     padded = -(-cap // _T) * _T
     pad = padded - cap

@@ -437,10 +437,19 @@ def seg2_plan(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
         fl_s = int(fl_cum[r + cnt] - fl_cum[r])
         # chunk bound: one chunk per entry + one per CH products
         ch_s = nnz_s + -(-fl_s // 128)
+        # minimum-width slabs hold only tiny rows (fl < 128): window
+        # machinery there pays ~4 us per window (gather slices + rowfl
+        # maps) on hundreds of thousands of windows for a few Mflops —
+        # route them through the flat wide-key digest step instead, which
+        # sorts the raw (row, col) stream with no window padding at all
+        flat = w == (1 << _MIN_CLS)
         slabs.append(dict(
             w=int(w), s_pad=int(s_pad), cnt=int(cnt),
             nnz_cap=_pow4_cap(nnz_s), chunk_cap=_pow4_cap(ch_s),
-            flops=fl_s, padded=int(s_pad) * int(w),
+            flops=fl_s, padded=fl_s if flat else int(s_pad) * int(w),
+            flat=flat,
+            flat_stream_cap=(max(-(-(fl_s + 18 * 128) // 32768) * 32768,
+                                 32768) if flat else 0),
         ))
         r += cnt
         bounds.append(r)
@@ -448,7 +457,8 @@ def seg2_plan(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
     stream_cap = stream_capacity(worst_fl + max(s["w"] for s in slabs))
     padded_total = sum(s["padded"] for s in slabs)
     flops_total = int(fl_cum[-1])
-    shapes = sorted({(s["w"], s["s_pad"], s["nnz_cap"], s["chunk_cap"])
+    shapes = sorted({(s["w"], s["s_pad"], s["nnz_cap"], s["chunk_cap"],
+                      s["flat"], s["flat_stream_cap"])
                      for s in slabs})
     cfg = dict(
         bounds=np.asarray(bounds, np.int32), slabs=slabs,
@@ -550,8 +560,19 @@ def seg2_prepare(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
 def seg2_step(b, prep, s, state, sr: Semiring = PLUS_TIMES, *,
               interpret: bool = False):
     """One slab step on hoisted ``prep`` state (host loop drives ``s``)."""
+    from combblas_tpu.ops.spgemm import _pallas_slab_digest_step
+
     a2, cfg, b_rp, b_tables, bounds_dev, slab_out_cap = prep
     sl = cfg["slabs"][s]
+    if sl.get("flat"):
+        return _pallas_slab_digest_step(
+            a2, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
+            *state, sr,
+            span_cap=sl["s_pad"], slab_nnz_cap=sl["nnz_cap"],
+            chunk_cap=sl["chunk_cap"], slab_out_cap=slab_out_cap,
+            stream_cap=sl["flat_stream_cap"], wide=True,
+            interpret=interpret,
+        )
     return _seg2_slab_digest_step(
         a2, b, b_rp, b_tables, bounds_dev, jnp.asarray(s, jnp.int32),
         jnp.asarray(sl["cnt"], jnp.int32), *state, sr,

@@ -49,7 +49,8 @@ def main():
     seen = {}
     for s, sl in enumerate(cfg["slabs"]):
         seen.setdefault((sl["w"], sl["s_pad"], sl["nnz_cap"],
-                         sl["chunk_cap"]), s)
+                         sl["chunk_cap"], sl.get("flat", False),
+                         sl.get("flat_stream_cap", 0)), s)
     for s in seen.values():
         st = seg2_step(a, prep, s, zero, PLUS_TIMES)
         _ = int(st[0])

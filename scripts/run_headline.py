@@ -47,6 +47,10 @@ def main():
                     help="independently scrambled draws (decorrelated "
                          "hubs — the reference benchmark family per "
                          "bench_logs/ref_workload provenance)")
+    ap.add_argument("--refgen", action="store_true",
+                    help="consume the REFERENCE generator's own matrices "
+                         "(bench_ref/inputs.py dumps) — zero workload "
+                         "ambiguity vs the reference logs")
     ap.add_argument("--no-crossval", action="store_true")
     args = ap.parse_args()
 
@@ -101,15 +105,26 @@ def run_scale(scale, args):
         from combblas_tpu.gen.rmat import edges_to_coo, rmat_edges
         scramble = bool(getattr(args, "scramble", False))
 
-        def draw(seed):
-            n = 1 << scale
-            r, c = rmat_edges(jax.random.PRNGKey(seed), scale, 8 * n,
-                              probs=SSCA, scramble=scramble)
-            cap = 1 << int(np.ceil(np.log2(8 * n)))
-            return edges_to_coo(r, c, (n, n), cap)
+        if args.refgen:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench_ref"))
+            from inputs import load_ref_coo
 
-        a = draw(42)
-        b = draw(43) if args.two_input else a
+            def draw_ref(which):
+                return load_ref_coo(scale, which)
+
+            a = draw_ref("A")
+            b = draw_ref("B") if args.two_input else a
+        else:
+            def draw(seed):
+                n = 1 << scale
+                r, c = rmat_edges(jax.random.PRNGKey(seed), scale, 8 * n,
+                                  probs=SSCA, scramble=scramble)
+                cap = 1 << int(np.ceil(np.log2(8 * n)))
+                return edges_to_coo(r, c, (n, n), cap)
+
+            a = draw(42)
+            b = draw(43) if args.two_input else a
         nnz_a = int(a.nnz)
         log({"ev": "gen", "scale": scale, "nnz_a": nnz_a,
              "nnz_b": int(b.nnz), "two_input": bool(args.two_input),
@@ -187,7 +202,9 @@ def run_scale(scale, args):
             # warm every distinct compiled shape (digest state discarded)
             seen = {}
             for s, sl in enumerate(prep[1]["slabs"]):
-                key = (sl["w"], sl["s_pad"], sl["nnz_cap"], sl["chunk_cap"])
+                key = (sl["w"], sl["s_pad"], sl["nnz_cap"],
+                       sl["chunk_cap"], sl.get("flat", False),
+                       sl.get("flat_stream_cap", 0))
                 seen.setdefault(key, s)
             for i, s in enumerate(seen.values()):
                 w = step(s, zero)
