@@ -70,6 +70,7 @@ REF_SCALE22_SECS = REF_SCALE_SECS[22]
 REF_FAMILY_FLOPS = {
     21: dict(axb=3_194_475_359, a2=3_191_413_588, scrambled=121_955_706),
     22: dict(axb=8_033_094_533, a2=8_022_940_994, scrambled=250_279_475),
+    23: dict(axb=20_182_582_805, a2=20_161_026_688, scrambled=498_503_288),
 }
 # Upper bound on the reference's demonstrated per-core rate: its logged
 # wall time against the HEAVIEST plausible reading of its inputs

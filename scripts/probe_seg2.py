@@ -51,9 +51,16 @@ def main():
         seen.setdefault((sl["w"], sl["s_pad"], sl["nnz_cap"],
                          sl["chunk_cap"], sl.get("flat", False),
                          sl.get("flat_stream_cap", 0)), s)
-    for s in seen.values():
+    for i, s in enumerate(seen.values()):
+        sl = cfg["slabs"][s]
+        print(json.dumps({"warm": i, "of": len(seen), "slab": s,
+                          "w": sl["w"], "s_pad": sl["s_pad"],
+                          "flat": sl.get("flat", False)}), flush=True)
+        t0 = time.perf_counter()
         st = seg2_step(a, prep, s, zero, PLUS_TIMES)
         _ = int(st[0])
+        print(json.dumps({"warmed": i, "secs": round(
+            time.perf_counter() - t0, 1)}), flush=True)
     # timed pass, per slab
     state = zero
     rows = []
