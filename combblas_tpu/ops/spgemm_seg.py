@@ -524,21 +524,12 @@ def _seg2_slab_digest_step(
     live = i < cnt
     lens = jnp.where(live, rowfl[:s_pad], 0)
     starts = jnp.where(live, row_start[:s_pad], 0)
-    if w <= 2048:
-        # many narrow windows: vmapped dynamic_slice serializes per window
-        # (~7-11 us each, measured); one vectorized gather instead
-        idx = jnp.minimum(starts[:, None]
-                          + jnp.arange(w, dtype=jnp.int32)[None, :],
-                          colstream.shape[0] - 1)
-        col2d = colstream[idx]
-        val2d = valstream[idx]
-    else:
-        col2d = jax.vmap(
-            lambda st: jax.lax.dynamic_slice(colstream, (st,), (w,))
-        )(starts)
-        val2d = jax.vmap(
-            lambda st: jax.lax.dynamic_slice(valstream, (st,), (w,))
-        )(starts)
+    col2d = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(colstream, (st,), (w,))
+    )(starts)
+    val2d = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(valstream, (st,), (w,))
+    )(starts)
     j = jnp.arange(w, dtype=jnp.int32)[None, :]
     keep = j < lens[:, None]
     col2d = jnp.where(keep, col2d, _SENT)
