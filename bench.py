@@ -139,11 +139,21 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
         return seg2_step(a, prep, s, state, PLUS_TIMES)
 
     zero = seg_zero_state()
-    # compile + warm with the first slab only; remaining shapes compile on
-    # first use inside the timed loop (persistent cache makes repeat runs
-    # warm) — the deadline check keeps cold compiles from overrunning
-    wstate = step(0, zero)
-    _ = int(wstate[0])  # hard sync via scalar pull
+    # warm every distinct compiled shape BEFORE timing (digest state
+    # discarded) — shapes load from the persistent cache in a few seconds
+    # each; without this the first timed pass absorbs every compile.
+    # Deadline-aware: if the budget runs short, remaining shapes compile
+    # inside the timed loop (slower but still correct + reported).
+    seen = {}
+    for s, sl in enumerate(cfg["slabs"]):
+        seen.setdefault((sl["w"], sl["s_pad"], sl["nnz_cap"],
+                         sl["chunk_cap"], sl.get("flat", False),
+                         sl.get("flat_stream_cap", 0)), s)
+    for s in seen.values():
+        wstate = step(s, zero)
+        _ = int(wstate[0])  # hard sync via scalar pull
+        if deadline is not None and time.perf_counter() > deadline - 180:
+            break
     slab_secs = []
     state = zero
     done = 0
@@ -312,8 +322,10 @@ def bench_bfs(scale: int, iters: int, nroots: int = 8, validate: int = 1):
     cand = np.flatnonzero(deg > 0)
     rng = np.random.default_rng(1)
     roots = rng.choice(cand, size=min(nroots, len(cand)), replace=False)
-    # warm all shapes with one full traversal
-    parents, levels = bfs_push_local(a, int(roots[0]), prep)
+    # warm EVERY root's level-shape trajectory before timing (per-level
+    # caps are pow2-quantized, so distinct shapes are few but root-dependent)
+    for r in roots:
+        parents, levels = bfs_push_local(a, int(r), prep)
     _ = int(jax.device_get(levels[0]))
     times, teps_list, visited = [], [], 0
     for i in range(max(iters, 1) * len(roots)):
@@ -395,7 +407,13 @@ def bench_mcl(scale: int, iters_timed: int = 3):
 
     a0 = rmat_matrix(jax.random.PRNGKey(21), scale=scale, edgefactor=8,
                      probs=SSCA, symmetrize=True, remove_self_loops=True)
-    p = MCLParams()
+    # bounded selection: HipMCL's protein-network default (select=1100)
+    # makes the expansion's product count scale as n*select^2 — beyond the
+    # 2^31 sort limit at bench scales.  select=64 keeps the same
+    # prune/select/recover machinery on a bench-sized budget
+    # (-select/-recover_num are runtime params in the reference too,
+    # MCL.cpp:233-371).
+    p = MCLParams(select=64, recover_num=80)
     n = a0.shape[1]
     cap = max(a0.capacity,
               1 << int(np.ceil(np.log2(max(min(p.select * n, n * n), 8)))))

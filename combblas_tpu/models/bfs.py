@@ -275,7 +275,8 @@ def _bfs_push_level(
     nf = jnp.sum(new.astype(jnp.int32))
     deg = rp[1:] - rp[:-1]
     nedges = jnp.sum(jnp.where(new, deg[:n], 0))
-    return parents, levels, ids, nf, nedges
+    # one host pull per level: stack the loop-control scalars
+    return parents, levels, ids, jnp.stack([nf, nedges])
 
 
 def _pow2(x: int, lo: int) -> int:
@@ -302,17 +303,16 @@ def bfs_push_local(a: SpCOO, root: int, prep=None, interpret: bool = False):
     edges = int(deg_host[root])
     depth = 0
     while k > 0:
-        fr_cap = _pow2(k, 128)
-        stream_cap = -(-(_pow2(edges, 1024) + 18 * 128) // 32768) * 32768
-        chunk_cap = _pow2(fr_cap + stream_cap // 128, 256)
-        parents, levels, fr_ids, nf, ne = _bfs_push_level(
+        fr_cap = _pow2(k, 1024)
+        stream_cap = -(-(_pow2(edges, 8192) + 18 * 128) // 32768) * 32768
+        chunk_cap = _pow2(fr_cap + stream_cap // 128, 1024)
+        parents, levels, fr_ids, stats = _bfs_push_level(
             rp, pc, pv, fr_ids, jnp.asarray(k, jnp.int32), parents, levels,
             jnp.asarray(depth, jnp.int32),
             n=n, fr_cap=fr_cap, chunk_cap=chunk_cap, stream_cap=stream_cap,
             interpret=interpret,
         )
-        k = int(nf)
-        edges = int(ne)
+        k, edges = (int(v) for v in np.asarray(stats))
         depth += 1
     return parents, levels
 

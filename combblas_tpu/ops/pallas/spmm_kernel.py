@@ -154,7 +154,13 @@ def spmm_pallas(a: SpCOO, x: jax.Array, interpret: bool = False) -> jax.Array:
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # X and Y are deliberately VMEM-resident (the kernel's whole
+            # point); the default scoped-vmem limit (16M) is far below the
+            # v5e's 128M physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(row, col, val, x.astype(jnp.float32))
     return out.astype(x.dtype)
