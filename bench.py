@@ -149,9 +149,21 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
         seen.setdefault((sl["w"], sl["s_pad"], sl["nnz_cap"],
                          sl["chunk_cap"], sl.get("flat", False),
                          sl.get("flat_stream_cap", 0)), s)
+    def step_retry(s, state, tries=3):
+        # the remote compile service occasionally drops an RPC mid-flight
+        # ("response body closed", HTTP 500); transient — retry the step
+        for t in range(tries):
+            try:
+                out = step(s, state)
+                _ = int(out[0])  # hard sync via scalar pull
+                return out
+            except Exception:
+                if t == tries - 1:
+                    raise
+                time.sleep(15)
+
     for s in seen.values():
-        wstate = step(s, zero)
-        _ = int(wstate[0])  # hard sync via scalar pull
+        step_retry(s, zero)
         if deadline is not None and time.perf_counter() > deadline - 180:
             break
     slab_secs = []
@@ -161,8 +173,7 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     t0 = time.perf_counter()
     for s in range(num_slabs):
         ts = time.perf_counter()
-        state = step(s, state)
-        _ = int(state[0])  # per-slab sync: timing + deadline check
+        state = step_retry(s, state)
         slab_secs.append(time.perf_counter() - ts)
         flops_done += cfg["slabs"][s]["flops"]
         done = s + 1
@@ -418,29 +429,18 @@ def bench_mcl(scale: int, iters_timed: int = 3):
     cap = max(a0.capacity,
               1 << int(np.ceil(np.log2(max(min(p.select * n, n * n), 8)))))
 
-    def one_iter(m):
-        c = spgemm_auto(m, m, out_capacity=None)
-        c = _mcl_prune(c, p, min(cap, c.capacity))
-        c = _inflate(c, p.inflation)
-        c = make_col_stochastic(c)
-        return c, float(chaos(c))
-
-    a = make_col_stochastic(a0)
-    a, ch = one_iter(a)  # warm + first real iteration
-    times = []
-    m = a
-    for _ in range(iters_timed):
-        t0 = time.perf_counter()
-        m, ch = one_iter(m)
-        times.append(time.perf_counter() - t0)
-    # full convergence run for the application-level numbers
+    # one full convergence run, timed end-to-end.  The iteration
+    # trajectory (and so the jit shape sequence) is deterministic, so a
+    # repeat run is persistent-cache warm; this run's wall time includes
+    # whatever compiles the cache is missing — reported as-is.
+    _ = cap  # capacity model documented above; mcl_local sizes internally
     t0 = time.perf_counter()
     labels, iters = mcl_local(a0, p)
     total = time.perf_counter() - t0
     nclusters = int(len(np.unique(np.asarray(labels))))
     return dict(scale=scale, nnz=int(a0.nnz),
-                secs_per_iter=round(float(np.mean(times)), 3),
                 converged_iters=int(iters),
+                secs_per_iter=round(total / max(iters, 1), 3),
                 total_secs=round(total, 2), clusters=nclusters)
 
 
