@@ -129,10 +129,7 @@ def test_seg2_matches_seg_skewed():
     from combblas_tpu.ops.spgemm_seg import spgemm_streamed_seg2
 
     rng = np.random.default_rng(7)
-    # kept small: in full-suite context the accumulated XLA:CPU state makes
-    # large interpret-mode pipelines fragile (segfault at m=200 after ~180
-    # prior tests); the skew structure, not the size, is the test
-    m = k = n = 120
+    m = k = n = 200
     ad = np.zeros((m, k), np.float32)
     for i in range(m):
         deg = min(int(rng.pareto(0.7) + 1), k)
