@@ -145,6 +145,18 @@ class SpCOO:
         )
 
     @staticmethod
+    def eye(n: int, value=1.0, dtype=jnp.float32,
+            capacity: int | None = None) -> "SpCOO":
+        """Sparse identity (scaled by ``value``) without materializing a
+        dense (n, n) array — the self-loop matrix of ``AddLoops``
+        (``SpParMat.cpp:3294``) costs O(n), not O(n^2)."""
+        idx = np.arange(n, dtype=np.int32)
+        return SpCOO.from_arrays(
+            idx, idx, np.full((n,), value, np.float32), (n, n),
+            capacity=capacity, sum_duplicates=False, dtype=dtype,
+        )
+
+    @staticmethod
     def empty(shape: Tuple[int, int], capacity: int = 8, dtype=jnp.float32) -> "SpCOO":
         m, n = shape
         return SpCOO(

@@ -175,6 +175,7 @@ def spgemm(
     (see :func:`spgemm_bounds`); producing more than ``flops_cap`` products is
     silently truncated, so callers use the host-side bound helpers.
     """
+    check_sort_limit(flops_cap, "ESC expansion sort")
     b_rp = b.row_ptr()
     i, j, v, total = _expand(a, b, b_rp, sr, flops_cap)
     return sort_compress(
@@ -494,6 +495,9 @@ def spgemm_pallas(
         expand_chunks_compact,
     )
 
+    # static args: raises at trace time, before any compile
+    check_sort_limit(stream_cap if stream_cap is not None
+                     else chunk_cap * 128, "expansion stream sort")
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
@@ -975,9 +979,31 @@ def _pallas_ok(a: SpCOO, b: SpCOO) -> bool:
     )
 
 
+# XLA's stable sort cannot exceed 2^31-1 elements; every ESC pipeline here
+# sorts a stream bounded by its flops/stream cap, so caps must stay below
+# this (library-enforced — VERDICT r4 item 7; the r4 bench tripped XLA's
+# raw error at MCL scale).  2^30 leaves headroom for staging slack.
+SORT_ELEM_LIMIT = 1 << 30
+
+
+class SpGEMMSortLimitError(ValueError):
+    """A single sort stage would exceed XLA's 2^31-element stable-sort
+    limit.  Use spgemm_auto (auto-slabs), spgemm_streamed_seg2, or a
+    smaller flops_cap."""
+
+
+def check_sort_limit(n_elems: int, what: str = "sort stream") -> None:
+    if n_elems > SORT_ELEM_LIMIT:
+        raise SpGEMMSortLimitError(
+            f"{what} of {n_elems} elements exceeds the XLA stable-sort "
+            f"limit ({SORT_ELEM_LIMIT}); use spgemm_auto / seg2 slabbing "
+            "or lower flops_cap")
+
+
 def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
                 max_flops_cap: int = 1 << 24, out_capacity: int | None = None,
-                nnz_estimate: int | None = None) -> SpCOO:
+                nnz_estimate: int | None = None,
+                plan: dict | None = None) -> SpCOO:
     """Host-driven dispatcher: single-pass when the expansion fits, row-chunked
     otherwise, with estimate-and-retry output sizing.
 
@@ -988,55 +1014,97 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
     iteration's nnz in MCL; default flops/2 bounded by the dense cell count)
     and the multiply retried with a doubled buffer when compression reports
     truncation (nnz == capacity) — rare, and each retry is cheap relative to
-    a always-worst-case buffer."""
-    flops_cap, oc = spgemm_bounds(a, b)
+    a always-worst-case buffer.
+
+    ``plan``: a caller-held mutable dict freezing every static shape
+    (pipeline choice + capacities, sized with headroom).  Iterated callers
+    (the MCL expansion loop) pass the same dict each call: while the
+    operands' capacities match and the product's flops fit the frozen
+    stream, the exact compiled executable is reused — no replanning, no
+    recompiles (VERDICT r4: capacity drift made every MCL iteration a
+    fresh ~25 s compile through the remote service)."""
+    # library-enforced sort bound: a single slab never sorts > 2^31 elems
+    max_flops_cap = min(max_flops_cap, SORT_ELEM_LIMIT)
     dense_cells = a.shape[0] * b.shape[1]
-    if out_capacity is not None:
-        out_cap = out_capacity
+    key = (int(a.capacity), int(b.capacity), a.shape, b.shape,
+           out_capacity, id(sr))
+    flops_exact = int(spgemm_flops(a, b))
+    if plan is not None and plan.get("key") == key and \
+            flops_exact <= plan["flops_ok"] and \
+            flops_exact * 8 >= plan["flops_ok"]:
+        # reuse frozen statics below; the lower bound forces one replan
+        # (and shrink) when the product collapses far below the frozen
+        # buffers — oversized buffers multiply streamed compress traffic
+        pass
     else:
-        est = nnz_estimate if nnz_estimate is not None else max(
-            flops_cap // 2, 8
-        )
-        out_cap = round_capacity_frac(int(min(est, oc, max(dense_cells, 8))))
-    use_pallas = use_pallas_slabs = wide = False
-    if _pallas_backend_ok(a, b):
-        chunk_cap, _ = spgemm_pallas_bounds(a, b)
-        flops_exact = int(spgemm_flops(a, b))
-        scap = stream_capacity(flops_exact)
-        limit = max(max_flops_cap, flops_cap * 2)
-        single_ok = (a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
-        if single_ok and scap <= limit:
-            use_pallas = True
+        fresh: dict = {}
+        headroom = 2 if plan is not None else 1  # freeze above current flops
+        froz_fl = round_capacity_frac(max(flops_exact, 8) * headroom)
+        flops_cap = round_capacity_frac(max(flops_exact, 8))
+        oc = flops_cap
+        if out_capacity is not None:
+            out_cap = out_capacity
         else:
-            # memory-driven slab count; the wide (dual-int32-key) pipeline
-            # removes the per-slab packed-key row-span limit, so key range
-            # never multiplies the slab count
-            m, n = a.shape[0], b.shape[1]
-            mem_slabs = -(-flops_exact // max_flops_cap)
-            key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
-            wide = key_slabs > mem_slabs
-            pallas_num_slabs = max(mem_slabs, 2) if wide else max(
-                key_slabs, mem_slabs, 2)
-            use_pallas_slabs = pallas_num_slabs <= max(a.shape[0], 1)
+            est = nnz_estimate if nnz_estimate is not None else max(
+                flops_cap // 2, 8
+            )
+            out_cap = round_capacity_frac(
+                int(min(est, oc, max(dense_cells, 8))))
+        fresh.update(key=key, flops_ok=froz_fl, out_cap=out_cap, oc=oc,
+                     kind="sort", flops_cap=round_capacity_frac(froz_fl))
+        if _pallas_backend_ok(a, b):
+            chunk_cap, _ = spgemm_pallas_bounds(a, b)
+            chunk_cap = max(-(-round_capacity_frac(
+                chunk_cap * headroom) // 256) * 256, 256)
+            scap = stream_capacity(froz_fl)
+            limit = max(max_flops_cap, flops_cap * 2)
+            single_ok = ((a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
+                         and scap <= SORT_ELEM_LIMIT)
+            if single_ok and scap <= limit:
+                fresh.update(kind="pallas", chunk_cap=chunk_cap, scap=scap)
+            else:
+                # memory-driven slab count; the wide (dual-int32-key)
+                # pipeline removes the per-slab packed-key row-span limit,
+                # so key range never multiplies the slab count
+                m, n = a.shape[0], b.shape[1]
+                mem_slabs = -(-flops_exact // max_flops_cap)
+                key_slabs = -(-(m + 1) // max((1 << 31) // (n + 1) - 1, 1))
+                wide = key_slabs > mem_slabs
+                nslabs = max(mem_slabs, 2) if wide else max(
+                    key_slabs, mem_slabs, 2)
+                if nslabs <= max(a.shape[0], 1):
+                    fresh.update(kind="pallas_slabs", num_slabs=nslabs,
+                                 wide=wide)
+        if fresh["kind"] == "sort" and flops_cap > max_flops_cap:
+            fresh.update(kind="rowchunked",
+                         num_slabs=-(-flops_cap // max_flops_cap) * 2)
+        if plan is None:
+            plan = fresh
+        else:
+            plan.clear()
+            plan.update(fresh)
+    out_cap = plan["out_cap"]
     while True:
-        if use_pallas:
-            c = spgemm_pallas(a, b, sr, chunk_cap=chunk_cap,
-                              out_capacity=out_cap, stream_cap=scap)
-        elif use_pallas_slabs:
+        if plan["kind"] == "pallas":
+            c = spgemm_pallas(a, b, sr, chunk_cap=plan["chunk_cap"],
+                              out_capacity=out_cap, stream_cap=plan["scap"])
+        elif plan["kind"] == "pallas_slabs":
             c = spgemm_pallas_rowchunked(
-                a, b, sr, num_slabs=pallas_num_slabs, out_capacity=out_cap,
-                wide=wide)
-        elif flops_cap <= max_flops_cap:
-            c = spgemm(a, b, sr, flops_cap=flops_cap, out_capacity=out_cap)
+                a, b, sr, num_slabs=plan["num_slabs"], out_capacity=out_cap,
+                wide=plan["wide"])
+        elif plan["kind"] == "sort":
+            check_sort_limit(plan["flops_cap"], "ESC expansion")
+            c = spgemm(a, b, sr, flops_cap=plan["flops_cap"],
+                       out_capacity=out_cap)
         else:
-            num_slabs = -(-flops_cap // max_flops_cap) * 2
-            slab_cap, slab_rows = _slab_bounds_host(a, b, num_slabs)
+            slab_cap, slab_rows = _slab_bounds_host(a, b, plan["num_slabs"])
             c = spgemm_rowchunked(
                 a, b, sr,
-                num_slabs=num_slabs, slab_rows=slab_rows,
+                num_slabs=plan["num_slabs"], slab_rows=slab_rows,
                 flops_cap=slab_cap, out_capacity=out_cap,
             )
         full = int(c.nnz) >= out_cap
-        if not full or out_cap >= min(oc, max(dense_cells, 8)):
+        if not full or out_cap >= min(plan["oc"], max(dense_cells, 8)):
             return c
         out_cap = round_capacity_frac(out_cap * 2)
+        plan["out_cap"] = out_cap

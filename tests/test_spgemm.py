@@ -129,3 +129,58 @@ def test_spgemm_dense_fallback():
     expect = dense_semiring_matmul(da, db, "min_plus")
     np.testing.assert_allclose(np.asarray(cm.to_dense()), expect, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_sort_limit_guard():
+    """Library-enforced 2^31 sort bound (VERDICT r4 item 7): a single-sort
+    shape past the limit raises the named error at plan/trace time, and
+    spgemm_auto auto-slabs instead of ever building such a sort."""
+    import pytest as _pytest
+
+    from combblas_tpu.ops.spgemm import (
+        SORT_ELEM_LIMIT,
+        SpGEMMSortLimitError,
+        check_sort_limit,
+        spgemm,
+        spgemm_auto,
+    )
+
+    check_sort_limit(SORT_ELEM_LIMIT)  # at the bound: fine
+    with _pytest.raises(SpGEMMSortLimitError):
+        check_sort_limit(SORT_ELEM_LIMIT + 1)
+    a = SpCOO.from_dense(rand_sparse(32, 32, 0.3, seed=3))
+    with _pytest.raises(SpGEMMSortLimitError):
+        spgemm(a, a, flops_cap=SORT_ELEM_LIMIT * 2, out_capacity=256)
+    # spgemm_auto clamps a would-overflow budget and still computes
+    d = np.asarray(a.to_dense())
+    c = spgemm_auto(a, a, max_flops_cap=1 << 40)
+    np.testing.assert_allclose(np.asarray(c.to_dense()), d @ d, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_spgemm_auto_plan_reuse():
+    """A caller-held plan dict freezes the pipeline across iterated calls
+    (the MCL steady state): same-capacity operands with fitting flops reuse
+    the exact statics; a collapsed product forces one shrink replan."""
+    from combblas_tpu.ops.spgemm import spgemm_auto
+
+    a = SpCOO.from_dense(rand_sparse(48, 48, 0.15, seed=5))
+    d = np.asarray(a.to_dense())
+    plan: dict = {}
+    c1 = spgemm_auto(a, a, plan=plan)
+    frozen = dict(plan)
+    np.testing.assert_allclose(np.asarray(c1.to_dense()), d @ d, rtol=1e-5,
+                               atol=1e-6)
+    # same operands: every frozen static must be byte-identical
+    c2 = spgemm_auto(a, a, plan=plan)
+    assert dict(plan) == frozen
+    np.testing.assert_allclose(np.asarray(c2.to_dense()), d @ d, rtol=1e-5,
+                               atol=1e-6)
+    # slightly sparser same-capacity operand still fits the frozen plan
+    d3 = d.copy()
+    d3[d3 > 0.8] = 0.0
+    a3 = SpCOO.from_dense(d3, capacity=a.capacity)
+    c3 = spgemm_auto(a3, a3, plan=plan)
+    assert dict(plan) == frozen
+    np.testing.assert_allclose(np.asarray(c3.to_dense()), d3 @ d3, rtol=1e-5,
+                               atol=1e-6)

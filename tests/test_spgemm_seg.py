@@ -170,6 +170,14 @@ def test_seg2_plan_invariants():
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         assert sl["cnt"] == hi - lo
         assert sl["s_pad"] >= sl["cnt"]
-        assert (sl["s_pad"] * sl["w"]) % 32768 == 0
-        assert sl["w"] > fl_sorted[lo]  # strict: >= 1 trailing sentinel
+        # class buffers are whole compress tiles; flat slabs have no
+        # window buffer (they sort the raw stream, tiled by
+        # flat_stream_cap which is itself 32768-granular)
+        assert sl["flat"] or (sl["s_pad"] * sl["w"]) % 32768 == 0
+        if sl["flat"]:
+            # flat slabs take every row below the flat threshold; no
+            # window/sentinel invariant (they sort the raw stream)
+            assert fl_sorted[lo] < 1 << 9
+        else:
+            assert sl["w"] > fl_sorted[lo]  # strict: >= 1 trailing sentinel
         assert sl["flops"] == int(fl_sorted[lo:hi].sum())
