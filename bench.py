@@ -304,13 +304,32 @@ def bench_spmm(scale: int, d: int, iters: int):
     bytes_moved = nnz * (4 + 4 + 4) + nnz * d * 4 * 2  # gather + accumulate
     out = dict(scale=scale, d=d)
     best = None
-    for name, use_pallas in (("pallas", True), ("xla", False)):
-        y = spmm(a, x, use_pallas=use_pallas)
-        s = float(jnp.sum(y))  # sync
+    from combblas_tpu.ops.pallas.spmm_ell import spmm_ell_prepare
+
+    prep = spmm_ell_prepare(a)
+    # ``inner`` repeats ride INSIDE one jit (carry-fed so XLA cannot
+    # elide them): the tunnel's ~25-40 ms per-dispatch latency would
+    # otherwise swamp a ~5 ms kernel (the r4 bench measured exactly that)
+    inner = 10
+
+    def chain(step):
+        @jax.jit
+        def many(x):
+            def body(i, acc):
+                y = step(x + acc * 0)
+                return acc + y[0, 0]
+            return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
+        return many
+
+    for name, step in (
+            ("pallas", chain(lambda xx: spmm(a, xx, use_pallas=True,
+                                             prep=prep))),
+            ("xla", chain(lambda xx: spmm(a, xx)))):
+        s = float(step(x))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            s = float(jnp.sum(spmm(a, x, use_pallas=use_pallas)))
-        dt = (time.perf_counter() - t0) / iters
+        for _ in range(max(iters, 3)):
+            s = float(step(x))
+        dt = (time.perf_counter() - t0) / (max(iters, 3) * inner)
         out[f"{name}_gb_per_s"] = round(bytes_moved / dt / 1e9, 1)
         out[f"{name}_secs"] = round(dt, 4)
         if best is None or dt < best:
@@ -321,61 +340,62 @@ def bench_spmm(scale: int, d: int, iters: int):
     return out
 
 
-def bench_bfs(scale: int, iters: int, nroots: int = 8, validate: int = 1):
+def bench_bfs(scale: int, iters: int, nroots: int = 8, validate: int = 2):
     """BFS TEPS on a symmetrized R-MAT graph (``TopDownBFS.cpp:437-443``).
 
     Graph500-style methodology: search keys sampled among vertices with
     degree >= 1; traversed edges counted as the sum of degrees of visited
     vertices / 2 (each undirected edge twice in the symmetrized adjacency);
     parents validated in-bench against the edge list for ``validate`` roots
-    (``TopDownBFS.cpp:448-457``).  Runs the push pipeline
-    (``models/bfs.py:bfs_push_local`` — frontier-only Pallas expansion)."""
+    (``TopDownBFS.cpp:448-457``).  Runs the device-resident batched pull
+    pipeline (``models/bfs.py:bfs_batch_pull``): ALL roots traverse in ONE
+    dispatch — zero per-level host round trips (VERDICT r4: the host-paced
+    push loop paid ~45 ms tunnel latency per level)."""
     import jax
     from combblas_tpu.gen.rmat import rmat_matrix
-    from combblas_tpu.models.bfs import bfs_push_local, bfs_push_prepare
+    from combblas_tpu.models.bfs import bfs_batch_prepare, bfs_batch_pull
 
     a = rmat_matrix(jax.random.PRNGKey(9), scale=scale, edgefactor=16,
                     symmetrize=True, remove_self_loops=True)
     nnz = int(a.nnz)
-    prep = bfs_push_prepare(a)
+    prep = bfs_batch_prepare(a)
     rp = np.asarray(prep[0])
     deg = rp[1:] - rp[:-1]
     cand = np.flatnonzero(deg > 0)
     rng = np.random.default_rng(1)
     roots = rng.choice(cand, size=min(nroots, len(cand)), replace=False)
-    # warm EVERY root's level-shape trajectory before timing (per-level
-    # caps are pow2-quantized, so distinct shapes are few but root-dependent)
-    for r in roots:
-        parents, levels = bfs_push_local(a, int(r), prep)
-    _ = int(jax.device_get(levels[0]))
-    times, teps_list, visited = [], [], 0
-    for i in range(max(iters, 1) * len(roots)):
-        r = int(roots[i % len(roots)])
+    P, L = bfs_batch_pull(a, roots, prep)  # compile + warm
+    _ = int(jax.device_get(L[0, 0]))
+    times = []
+    for _ in range(max(iters, 2)):
         t0 = time.perf_counter()
-        parents, levels = bfs_push_local(a, r, prep)
-        lv = np.asarray(levels)  # sync
-        dt = time.perf_counter() - t0
-        vis = lv >= 0
-        visited = int(vis.sum())
-        edges = int(deg[vis].sum()) // 2
-        times.append(dt)
-        teps_list.append(edges / dt)
+        P, L = bfs_batch_pull(a, roots, prep)
+        lv = np.asarray(L)  # sync
+        times.append(time.perf_counter() - t0)
+    batch_secs = min(times)
+    per_root = batch_secs / len(roots)
+    vis = lv >= 0
+    visited = int(vis[0].sum())
+    edges = [int(deg[v].sum()) // 2 for v in vis]
+    teps = [e / per_root for e in edges]
+    hmean = len(teps) / sum(1.0 / t for t in teps if t > 0)
     ok = True
     arow, acol = np.asarray(a.row)[:nnz], np.asarray(a.col)[:nnz]
     ekeys = arow.astype(np.int64) * a.shape[1] + acol
     ekeys.sort()
-    for r in roots[:validate]:
-        p, l = bfs_push_local(a, int(r), prep)
-        p, l = np.asarray(p), np.asarray(l)
-        vis = np.flatnonzero((l > 0))
-        pe = p[vis].astype(np.int64) * a.shape[1] + vis
+    Ph = np.asarray(P)
+    for i, r in enumerate(roots[:validate]):
+        p, l = Ph[i], lv[i]
+        visr = np.flatnonzero((l > 0))
+        pe = p[visr].astype(np.int64) * a.shape[1] + visr
         found = np.searchsorted(ekeys, pe)
         ok &= bool(np.all(ekeys[np.minimum(found, len(ekeys) - 1)] == pe))
-        ok &= bool(np.all(l[vis] == l[p[vis]] + 1))
+        ok &= bool(np.all(l[visr] == l[p[visr]] + 1))
         ok &= bool(p[r] == r and l[r] == 0)
-    hmean = len(teps_list) / sum(1.0 / t for t in teps_list)
     return dict(scale=scale, nnz=nnz, visited=visited, roots=len(roots),
-                validated=bool(ok), mean_secs=round(float(np.mean(times)), 4),
+                validated=bool(ok),
+                batch_secs=round(batch_secs, 4),
+                mean_secs=round(per_root, 4),
                 gteps=hmean / 1e9)
 
 

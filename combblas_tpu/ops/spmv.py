@@ -106,24 +106,36 @@ def spmsv_masked(
     return y, y_mask
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "use_pallas"))
 def spmm(a: SpCOO, x: jax.Array, sr: Semiring = PLUS_TIMES,
-         use_pallas: bool = False) -> jax.Array:
+         use_pallas: bool = False, prep=None) -> jax.Array:
     """Sparse (m, n) × tall-dense (n, d) -> dense (m, d).
 
     Default path: gather rows of X at a.col, scale by vals, segment-reduce
-    by row.  ``use_pallas=True`` routes plus_times workloads with d a
-    multiple of 128 through the VMEM-resident streaming kernel
-    (:func:`combblas_tpu.ops.pallas.spmm_kernel.spmm_pallas`) — the fast
-    path for the Roofline/SpMMError shapes.
+    by row.  ``use_pallas=True`` routes plus_times float32 workloads
+    through the degree-sorted ELL-8 VMEM-resident kernel
+    (:func:`combblas_tpu.ops.pallas.spmm_ell.spmm_ell`) — the fast path
+    for the Roofline/SpMMError shapes.  The kernel path needs concrete
+    operands (host planning); pass ``prep`` from ``spmm_ell_prepare`` to
+    amortize planning, or call under jit to always take the XLA path.
     """
-    m, n = a.shape
-    if (use_pallas and sr.add_kind == "sum" and x.ndim == 2
-            and x.shape[1] % 128 == 0
-            and (m + n) * x.shape[1] * 4 < 100 * 2**20):
-        from combblas_tpu.ops.pallas.spmm_kernel import spmm_pallas
+    from combblas_tpu.semiring import PLUS_TIMES as _PT
 
-        return spmm_pallas(a, x)
+    m, n = a.shape
+    dp = -(-max(x.shape[-1], 1) // 128) * 128
+    if (use_pallas and sr is _PT and x.ndim == 2
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.dtype != jnp.float64
+            and (m + n) * dp * 4 < 100 * 2**20
+            and not isinstance(jnp.asarray(a.nnz), jax.core.Tracer)):
+        from combblas_tpu.ops.pallas.spmm_ell import spmm_ell
+
+        return spmm_ell(a, x, prep=prep)
+    return _spmm_xla(a, x, sr)
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _spmm_xla(a: SpCOO, x: jax.Array, sr: Semiring = PLUS_TIMES):
+    m, n = a.shape
     valid = a.mask()
     xg = x[jnp.minimum(a.col, n - 1)]  # (cap, d)
     prod = sr.mul(a.val[:, None], xg)

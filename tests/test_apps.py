@@ -206,3 +206,45 @@ def test_bfs_push_matches_while_loop():
     l1, l2 = np.asarray(l1), np.asarray(l2)
     assert (l1 == l2).all()
     assert validate_bfs(a.to_dense(), 3, np.asarray(p2), l2)
+
+
+def test_bfs_batch_pull_matches_while_loop():
+    """Device-resident batched pull BFS: levels match the while_loop BFS
+    for every root in one dispatch, parents Graph500-validate."""
+    import jax
+    import numpy as np
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.models.bfs import (
+        bfs_batch_pull,
+        bfs_local,
+        validate_bfs,
+    )
+
+    a = rmat_matrix(jax.random.PRNGKey(9), scale=9, edgefactor=8,
+                    symmetrize=True, remove_self_loops=True)
+    roots = [3, 17, 101]
+    P, L = bfs_batch_pull(a, roots)
+    P, L = np.asarray(P), np.asarray(L)
+    ad = np.asarray(a.to_dense())
+    for i, r in enumerate(roots):
+        _, l1 = bfs_local(a, r)
+        assert (np.asarray(l1) == L[i]).all()
+        assert validate_bfs(ad, r, P[i], L[i])
+
+
+def test_bfs_push_small_graph():
+    """Regression (ADVICE r4): push BFS crashed on graphs with n < 1024
+    because the frontier cap was floored at 1024 > n."""
+    import numpy as np
+    from combblas_tpu.models.bfs import bfs_push_local, validate_bfs
+    from combblas_tpu.ops.coo import SpCOO
+
+    n = 12  # path graph 0-1-2-...-11
+    d = np.zeros((n, n), np.float32)
+    for i in range(n - 1):
+        d[i, i + 1] = d[i + 1, i] = 1.0
+    a = SpCOO.from_dense(d)
+    p, l = bfs_push_local(a, 0, interpret=True)
+    l = np.asarray(l)
+    assert (l == np.arange(n)).all()
+    assert validate_bfs(d, 0, np.asarray(p), l)

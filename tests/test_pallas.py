@@ -44,3 +44,37 @@ def test_spmm_pallas_matches_dense():
     y = np.asarray(spmm_pallas(a, jnp.asarray(x), interpret=True))
     ref = ad @ x
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_ell_matches_dense():
+    """Degree-sorted ELL-8 kernel (the spmm fast path) vs dense, with a
+    heavy row, empty rows, and non-multiple-of-8 m."""
+    from combblas_tpu.ops.pallas.spmm_ell import spmm_ell, spmm_ell_prepare
+
+    rng = np.random.default_rng(1)
+    m, n, d = 301, 257, 128
+    ad = ((rng.random((m, n)) < 0.05) * rng.random((m, n))).astype(np.float32)
+    ad[7] = ((rng.random(n) < 0.6) * 1.0).astype(np.float32)  # hub row
+    ad[8] = 0                                                 # empty row
+    x = rng.random((n, d)).astype(np.float32)
+    a = SpCOO.from_dense(ad)
+    prep = spmm_ell_prepare(a)
+    y = np.asarray(spmm_ell(a, jnp.asarray(x), prep=prep, interpret=True))
+    np.testing.assert_allclose(y, ad @ x, rtol=2e-5, atol=1e-5)
+    # narrow d pads lanes internally
+    y8 = np.asarray(spmm_ell(a, jnp.asarray(x[:, :8]), prep=prep,
+                             interpret=True))
+    np.testing.assert_allclose(y8, ad @ x[:, :8], rtol=2e-5, atol=1e-5)
+
+
+def test_spmm_gate_prefers_xla_for_non_plus_times():
+    """ADVICE r4: the use_pallas gate must not route non-plus_times
+    semirings (or f64) through the float32 plus_times kernel."""
+    from combblas_tpu.semiring import MIN_PLUS
+
+    d = rand_sparse(16, 12, 0.4, seed=7)
+    x = np.random.default_rng(3).random((12, 4)).astype(np.float32)
+    a = SpCOO.from_dense(d)
+    y_min = np.asarray(spmm(a, jnp.asarray(x), MIN_PLUS, use_pallas=True))
+    y_ref = np.asarray(spmm(a, jnp.asarray(x), MIN_PLUS))
+    np.testing.assert_allclose(y_min, y_ref, rtol=1e-5, atol=1e-6)
