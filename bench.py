@@ -340,40 +340,47 @@ def bench_spmm(scale: int, d: int, iters: int):
     return out
 
 
-def bench_bfs(scale: int, iters: int, nroots: int = 8, validate: int = 2):
+def bench_bfs(scale: int, iters: int, nroots: int = 64, validate: int = 4):
     """BFS TEPS on a symmetrized R-MAT graph (``TopDownBFS.cpp:437-443``).
 
-    Graph500-style methodology: search keys sampled among vertices with
-    degree >= 1; traversed edges counted as the sum of degrees of visited
-    vertices / 2 (each undirected edge twice in the symmetrized adjacency);
-    parents validated in-bench against the edge list for ``validate`` roots
-    (``TopDownBFS.cpp:448-457``).  Runs the device-resident batched pull
-    pipeline (``models/bfs.py:bfs_batch_pull``): ALL roots traverse in ONE
-    dispatch — zero per-level host round trips (VERDICT r4: the host-paced
-    push loop paid ~45 ms tunnel latency per level)."""
+    Graph500-style methodology: 64 search keys sampled among vertices with
+    degree >= 1 (the spec's key count); traversed edges counted as the sum
+    of degrees of visited vertices / 2 (each undirected edge twice in the
+    symmetrized adjacency); parents validated post-timing against the edge
+    list for ``validate`` roots (``TopDownBFS.cpp:448-457``).  Runs the
+    device-resident batched pull pipeline (``models/bfs.py:
+    bfs_batch_pull_big``): ALL roots traverse in ONE dispatch through the
+    blocked ELL-8 max kernel — one fused pull sweep per level computes hit
+    detection and parent choice for all 64 roots at once, zero per-level
+    host round trips.  Timing syncs on a scalar; the (R, n) result arrays
+    stay on device (pulling 67 MB through the tunnel costs 2.2 s and is
+    not part of the traversal — Graph500 likewise leaves kernel-2 output
+    distributed)."""
     import jax
     from combblas_tpu.gen.rmat import rmat_matrix
-    from combblas_tpu.models.bfs import bfs_batch_prepare, bfs_batch_pull
+    from combblas_tpu.models.bfs import bfs_batch_pull_big
+    from combblas_tpu.ops.pallas.spmm_ell_blocked import ell_blocked_prepare
 
     a = rmat_matrix(jax.random.PRNGKey(9), scale=scale, edgefactor=16,
                     symmetrize=True, remove_self_loops=True)
     nnz = int(a.nnz)
-    prep = bfs_batch_prepare(a)
-    rp = np.asarray(prep[0])
+    prep = ell_blocked_prepare(a, 6, relabel_cols=True, binary=True)
+    rp = np.asarray(a.row_ptr())
     deg = rp[1:] - rp[:-1]
     cand = np.flatnonzero(deg > 0)
     rng = np.random.default_rng(1)
     roots = rng.choice(cand, size=min(nroots, len(cand)), replace=False)
-    P, L = bfs_batch_pull(a, roots, prep)  # compile + warm
+    P, L = bfs_batch_pull_big(a, roots, prep=prep)  # compile + warm
     _ = int(jax.device_get(L[0, 0]))
     times = []
     for _ in range(max(iters, 2)):
         t0 = time.perf_counter()
-        P, L = bfs_batch_pull(a, roots, prep)
-        lv = np.asarray(L)  # sync
+        P, L = bfs_batch_pull_big(a, roots, prep=prep)
+        _ = int(jax.device_get(L[0, 0]))  # data-dependent scalar sync
         times.append(time.perf_counter() - t0)
     batch_secs = min(times)
     per_root = batch_secs / len(roots)
+    lv = np.asarray(L)
     vis = lv >= 0
     visited = int(vis[0].sum())
     edges = [int(deg[v].sum()) // 2 for v in vis]

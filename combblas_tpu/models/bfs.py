@@ -37,7 +37,7 @@ from combblas_tpu.semiring import MAX_SECOND
 
 __all__ = ["bfs_local", "bfs_dist", "bfs_dir_opt_local", "bfs_dir_opt_dist",
            "bfs_push_local", "bfs_push_prepare", "bfs_batch_pull",
-           "bfs_batch_prepare"]
+           "bfs_batch_prepare", "bfs_batch_pull_big"]
 
 
 class _BfsState(NamedTuple):
@@ -411,6 +411,81 @@ def _bfs_batch_pull(rp, col, row, live, roots, *, n: int):
     parents = jnp.where(levels > 0, psum - 1, -1)
     parents = parents.at[jnp.arange(R), roots].set(roots)
     return parents, levels
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "t_seg", "nb", "bs_r", "bs_c", "m_pad", "n_pad", "interpret"))
+def _bfs_pull_big(cols, vals, flush, base, roots_s, roots_orig, orig_ids,
+                  *, R: int, t_seg: int, nb: int, bs_r: int, bs_c: int,
+                  m_pad: int, n_pad: int, interpret: bool = False):
+    from combblas_tpu.ops.pallas.spmm_ell_blocked import _ell_blocked_call
+
+    # Every loop array is (n_pad, 128) float32: full-lane, layout-native.
+    # Lanes >= R carry no root and stay unvisited.  Frontier VALUES are
+    # ORIGINAL vertex ids (+1): the max fold picks a valid parent in any
+    # consistent value space, and this one needs no per-element id
+    # translation afterwards (an (n, 128) element gather costs seconds on
+    # TPU — measured 2.7 s, 5x the whole traversal).
+    dp = 128
+    assert R <= dp
+    ids = orig_ids.astype(jnp.float32) + 1.0      # per relabeled row
+    ar = jnp.arange(R)
+    unv = jnp.float32(-1.0)
+    levels = jnp.full((n_pad, dp), unv, jnp.float32).at[roots_s, ar].set(0.0)
+    parents = jnp.full((n_pad, dp), unv, jnp.float32).at[roots_s, ar].set(
+        roots_orig.astype(jnp.float32))
+
+    def cond(c):
+        return c[3]
+
+    def body(c):
+        levels, parents, depth, _ = c
+        f = jnp.where(levels == depth, ids[:, None], 0.0)
+        y = _ell_blocked_call(
+            cols, vals, flush, base, f,
+            t_seg=t_seg, nb=nb, bs_r=bs_r, bs_c=bs_c, m_pad=m_pad,
+            n_pad=n_pad, op="max", interpret=interpret)[:n_pad]
+        new = (y > 0) & (levels < 0)
+        parents = jnp.where(new, y - 1.0, parents)
+        levels = jnp.where(new, depth + 1.0, levels)
+        return levels, parents, depth + 1.0, jnp.any(new)
+
+    levels, parents, _, _ = jax.lax.while_loop(
+        cond, body, (levels, parents, jnp.float32(0), jnp.asarray(True)))
+    return (parents[:, :R].astype(jnp.int32),
+            levels[:, :R].astype(jnp.int32))
+
+
+def bfs_batch_pull_big(a: SpCOO, roots, prep=None, nb: int = 6,
+                       interpret: bool = False):
+    """Multi-root BFS in ONE device dispatch via the 2D-blocked ELL-8 max
+    kernel — the scale path (X/Y VMEM blocks, graph relabeled by degree
+    once at prep).  Each level is one pull sweep computing max (id+1)
+    over frontier neighbors: hit detection AND parent choice in a single
+    fused op, zero per-level host round trips.  ``a`` must be symmetric.
+    Up to 128 roots ride the 128 f32 lanes of one sweep.  Returns
+    (parents, levels) as (R, n) device arrays in ORIGINAL vertex ids."""
+    from combblas_tpu.ops.pallas.spmm_ell_blocked import ell_blocked_prepare
+
+    n = a.shape[0]
+    if prep is None:
+        prep = ell_blocked_prepare(a, nb, relabel_cols=True, binary=True)
+    roots = np.asarray(roots)
+    R = len(roots)
+    assert R <= 128, "one sweep carries at most 128 f32 root lanes"
+    roots_s = jnp.asarray(np.asarray(prep["inv"])[roots], jnp.int32)
+    parents_s, levels_s = _bfs_pull_big(
+        prep["cols"], prep["vals"], prep["flush"], prep["base"], roots_s,
+        jnp.asarray(roots, jnp.int32), prep["order"],
+        R=R, t_seg=prep["t_seg"], nb=prep["nb"], bs_r=prep["bs_r"],
+        bs_c=prep["bs_c"], m_pad=prep["m_pad"], n_pad=prep["n_pad"],
+        interpret=interpret)
+    # back to original row order (one row gather); parent VALUES are
+    # already original ids by construction
+    rank = prep["inv"][:n]
+    lv = jnp.take(levels_s, rank, axis=0).T            # (R, n)
+    pv = jnp.take(parents_s, rank, axis=0).T
+    return pv, lv
 
 
 def bfs_batch_pull(a: SpCOO, roots, prep=None):

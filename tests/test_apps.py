@@ -248,3 +248,27 @@ def test_bfs_push_small_graph():
     l = np.asarray(l)
     assert (l == np.arange(n)).all()
     assert validate_bfs(d, 0, np.asarray(p), l)
+
+
+def test_bfs_batch_pull_big_matches_while_loop():
+    """Blocked-kernel 64-root-capable BFS: levels match the while_loop BFS,
+    parents Graph500-validate (original-id value space)."""
+    import jax
+    import numpy as np
+    from combblas_tpu.gen.rmat import rmat_matrix
+    from combblas_tpu.models.bfs import (
+        bfs_batch_pull_big,
+        bfs_local,
+        validate_bfs,
+    )
+
+    a = rmat_matrix(jax.random.PRNGKey(9), scale=9, edgefactor=8,
+                    symmetrize=True, remove_self_loops=True)
+    roots = [3, 17, 101, 250]
+    P, L = bfs_batch_pull_big(a, roots, nb=3, interpret=True)
+    P, L = np.asarray(P), np.asarray(L)
+    ad = np.asarray(a.to_dense())
+    for i, r in enumerate(roots):
+        _, l1 = bfs_local(a, r)
+        assert (np.asarray(l1) == L[i]).all()
+        assert validate_bfs(ad, r, P[i], L[i])

@@ -78,3 +78,51 @@ def test_spmm_gate_prefers_xla_for_non_plus_times():
     y_min = np.asarray(spmm(a, jnp.asarray(x), MIN_PLUS, use_pallas=True))
     y_ref = np.asarray(spmm(a, jnp.asarray(x), MIN_PLUS))
     np.testing.assert_allclose(y_min, y_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_ell_blocked_matches_dense():
+    """2D-blocked ELL-8 kernel (sum fold) vs dense, rectangular + narrow d."""
+    from combblas_tpu.ops.pallas.spmm_ell_blocked import spmm_ell_blocked
+
+    rng = np.random.default_rng(4)
+    for (m, n, dens, d, nb) in ((64, 48, 0.2, 128, 2), (150, 150, 0.08, 16, 3),
+                                (90, 64, 0.15, 128, 4)):
+        ad = ((rng.random((m, n)) < dens) * rng.random((m, n))).astype(
+            np.float32)
+        x = rng.random((n, d)).astype(np.float32)
+        a = SpCOO.from_dense(ad)
+        y = spmm_ell_blocked(a, jnp.asarray(x), nb=nb, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), ad @ x, rtol=2e-5,
+                                   atol=1e-5)
+
+
+def test_spmm_ell_blocked_max_fold():
+    """Max fold with relabeled columns (the BFS sweep configuration)."""
+    from combblas_tpu.ops.pallas.spmm_ell_blocked import (
+        ell_blocked_prepare,
+        spmm_ell_blocked,
+    )
+
+    rng = np.random.default_rng(5)
+    m = 120
+    ad = ((rng.random((m, m)) < 0.1) * 1.0).astype(np.float32)
+    ad = np.maximum(ad, ad.T)
+    np.fill_diagonal(ad, 0)
+    a = SpCOO.from_dense(ad)
+    prep = ell_blocked_prepare(a, nb=3, relabel_cols=True, binary=True)
+    order = np.asarray(prep["order"])
+    rank = np.asarray(prep["inv"])
+    x = np.zeros((m, 128), np.float32)
+    x[:, :5] = rng.random((m, 5)).astype(np.float32)
+    xs = x[order[order >= 0]] if (order < 0).any() else x[order]
+    xs = np.zeros((prep["n_pad"], 128), np.float32)
+    xs[rank] = x
+    y = spmm_ell_blocked(a, jnp.asarray(xs), prep=prep, op="max",
+                         interpret=True)
+    ref = np.zeros((m, 128), np.float32)
+    for v in range(m):
+        nbrs = np.flatnonzero(ad[v])
+        if len(nbrs):
+            ref[v] = x[nbrs].max(axis=0)
+    np.testing.assert_allclose(np.asarray(y)[rank], ref, rtol=1e-6,
+                               atol=1e-6)
