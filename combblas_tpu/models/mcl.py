@@ -166,7 +166,11 @@ def mcl_local(
             on_iter(it, ch, _time.perf_counter() - t0)
         if ch < p.eps:
             break
-        if deadline is not None and _time.perf_counter() > deadline:
+        # never stop before iteration 3: the first two iterations carry
+        # the two compile generations (original + frozen capacities), so
+        # a steady-state sample needs at least one later iteration
+        if deadline is not None and it >= 3 \
+                and _time.perf_counter() > deadline:
             break
     # Interpret: clusters = weakly-connected components of final structure.
     sym = merge(a, a.transpose(), PLUS_TIMES)
