@@ -17,6 +17,7 @@ dropped, then if a column still has more than ``select`` entries only its
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -85,31 +86,52 @@ def _inflate(a: SpCOO, power: float) -> SpCOO:
 
 def _mcl_prune(a: SpCOO, p: MCLParams, out_capacity: int) -> SpCOO:
     """Threshold + select + recovery (``MCLPruneRecoverySelect``,
-    ``ParFriends.h:186``)."""
-    from combblas_tpu.ops.reduce import nnz_per
+    ``ParFriends.h:186``) in ONE fused pass: a single (col, -|v|) sort
+    yields per-column descending ranks; threshold/select/recover are then
+    rank masks and the survivors compact once.  (The round-4 version
+    chained prune -> kselect -> nnz-count -> kselect -> two masked merges
+    — six capacity-sized sorted passes over five dispatches; measured
+    93-196 s per MCL iteration at scale 14, vs one pass here.)"""
+    return _mcl_prune_jit(
+        a, cutoff=float(p.cutoff), select=int(p.select),
+        recover_num=int(p.recover_num), recover_pct=float(p.recover_pct),
+        out_capacity=int(out_capacity))
 
-    # 1. adaptive threshold: cutoff scaled by column average (reference's
-    #    prunelimit uses avg*cutoff heuristics; keep the flat cutoff plus
-    #    top-select guard, which is what dominates in practice).
-    pruned = prune(a, lambda v: jnp.abs(v) < p.cutoff, out_capacity=out_capacity)
-    # 2. columns still over 'select' keep only their largest 'select' entries.
-    pruned = select_top_k_per_col(pruned, p.select, out_capacity=out_capacity)
-    # 3. recovery: columns whose nnz fell below recover_pct of recover_num
-    #    get entries back from the unpruned matrix (top recover_num).
-    kept = nnz_per(pruned, "col")
-    need_recover = kept < jnp.int32(p.recover_pct * min(p.recover_num, p.select))
-    recovered = select_top_k_per_col(
-        a, jnp.where(need_recover, p.recover_num, 0), out_capacity=out_capacity
-    )
-    # recovered columns come wholly from `recovered`, the rest from `pruned`,
-    # so the merge never sees duplicate entries.
-    both = merge(
-        _mask_cols(pruned, ~need_recover),
-        _mask_cols(recovered, need_recover),
-        PLUS_TIMES,
-        out_capacity=out_capacity,
-    )
-    return both
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "select", "recover_num",
+                              "recover_pct", "out_capacity"))
+def _mcl_prune_jit(a: SpCOO, *, cutoff: float, select: int,
+                   recover_num: int, recover_pct: float,
+                   out_capacity: int) -> SpCOO:
+    from combblas_tpu.ops.ewise import _compact
+
+    n = a.shape[1]
+    cap = a.capacity
+    live = a.mask()
+    av = jnp.where(live, jnp.abs(a.val), -1.0)
+    col = jnp.where(live, a.col, n)
+    eid = jnp.arange(cap, dtype=jnp.int32)
+    col_s, negv_s, eid_s = jax.lax.sort(
+        (col, jnp.where(live, -av, jnp.inf), eid), num_keys=2)
+    col_start = jnp.searchsorted(
+        col_s, jnp.arange(n + 1, dtype=jnp.int32)).astype(jnp.int32)
+    pos = jnp.arange(cap, dtype=jnp.int32) - col_start[
+        jnp.minimum(col_s, n)]
+    # entries >= cutoff form a per-column prefix of this order, so the
+    # per-column kept count is a cumsum boundary difference (no scatter)
+    cut_s = (-negv_s) >= cutoff
+    c0 = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), jnp.cumsum(cut_s.astype(jnp.int32))])
+    kept = jnp.minimum(c0[col_start[1:]] - c0[col_start[:-1]], select)
+    # recovery: columns whose post-select nnz fell below the floor take
+    # their top recover_num from the UNPRUNED matrix (ParFriends.h:290)
+    need_rec = kept < jnp.int32(recover_pct * min(recover_num, select))
+    rec_s = need_rec[jnp.minimum(col_s, n - 1)]
+    final_s = jnp.where(rec_s, pos < recover_num,
+                        cut_s & (pos < select)) & (col_s < n)
+    keep = jnp.zeros((cap,), jnp.bool_).at[eid_s].set(final_s)
+    return _compact(a, keep, out_capacity)
 
 
 def _mask_cols(a: SpCOO, colmask: jax.Array) -> SpCOO:
@@ -154,7 +176,10 @@ def mcl_local(
     exp_plan: dict = {}
     for it in range(1, p.max_iters + 1):
         t0 = _time.perf_counter()
-        a2 = spgemm_auto(a, a, out_capacity=None, plan=exp_plan)  # expansion
+        # 2^28 slab budget: the default 2^24 forces the host-paced
+        # row-chunked path (4+ dispatches/iter) at bench scales
+        a2 = spgemm_auto(a, a, out_capacity=None, plan=exp_plan,
+                         max_flops_cap=1 << 28)  # expansion
         a2 = _mcl_prune(a2, p, min(cap, a2.capacity))
         a2 = _inflate(a2, p.inflation)  # inflation
         a2 = make_col_stochastic(a2)

@@ -1031,15 +1031,21 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
     flops_exact = int(spgemm_flops(a, b))
     if plan is not None and plan.get("key") == key and \
             flops_exact <= plan["flops_ok"] and \
-            flops_exact * 8 >= plan["flops_ok"]:
-        # reuse frozen statics below; the lower bound forces one replan
-        # (and shrink) when the product collapses far below the frozen
-        # buffers — oversized buffers multiply streamed compress traffic
+            flops_exact * 64 >= plan["flops_ok"]:
+        # reuse frozen statics below; the lower bound forces a replan
+        # (and shrink) only on a 64x collapse: oversized buffers cost
+        # streamed compress traffic, but far less than a fresh ~25 s
+        # remote compile — MCL's fast early decay must NOT replan every
+        # iteration (measured 29 s/iter of pure recompilation at 8x)
         pass
     else:
         fresh: dict = {}
-        headroom = 2 if plan is not None else 1  # freeze above current flops
-        froz_fl = round_capacity_frac(max(flops_exact, 8) * headroom)
+        # freeze above current flops: every steady-state pass sorts the
+        # frozen stream, so headroom is paid every iteration — 1.5x is
+        # enough band for MCL's post-peak growth without replans
+        froz_fl = round_capacity_frac(
+            max(flops_exact, 8) * 3 // 2 if plan is not None
+            else max(flops_exact, 8))
         flops_cap = round_capacity_frac(max(flops_exact, 8))
         oc = flops_cap
         if out_capacity is not None:
@@ -1055,7 +1061,8 @@ def spgemm_auto(a: SpCOO, b: SpCOO, sr: Semiring = PLUS_TIMES, *,
         if _pallas_backend_ok(a, b):
             chunk_cap, _ = spgemm_pallas_bounds(a, b)
             chunk_cap = max(-(-round_capacity_frac(
-                chunk_cap * headroom) // 256) * 256, 256)
+                chunk_cap * (3 if plan is not None else 2) // 2)
+                // 256) * 256, 256)
             scap = stream_capacity(froz_fl)
             limit = max(max_flops_cap, flops_cap * 2)
             single_ok = ((a.shape[0] + 1) * (b.shape[1] + 1) < (1 << 31)
