@@ -423,14 +423,26 @@ def bench_spmsv(scale: int, iters: int, frontier_frac: float = 0.01):
         jax.random.choice(jax.random.PRNGKey(12), n, (k,), replace=False)
     ].set(True)
     vals = jnp.arange(1, n + 1, dtype=jnp.int32)
+    # inner repeats ride one jit (mask fed forward so XLA cannot elide
+    # them): a single SpMSpV step is far below the ~25-40 ms tunnel
+    # dispatch floor, which is what the r4 line was measuring
+    inner = 16
+
+    @jax.jit
+    def many(mask):
+        def body(i, m):
+            y, ym = spmsv_masked(a, vals, m, MAX_SECOND, transpose=True)
+            return jnp.where(i < 0, ym, m) | (jnp.sum(ym) < 0)
+        return jax.lax.fori_loop(0, inner, body, mask)
+
     y, ym = spmsv_masked(a, vals, mask, MAX_SECOND, transpose=True)
     touched = int(jnp.sum(ym))
+    _ = bool(jax.device_get(many(mask)[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y, ym = spmsv_masked(a, vals, mask, MAX_SECOND, transpose=True)
-        touched = int(jnp.sum(ym))
-    dt = (time.perf_counter() - t0) / iters
-    return dict(scale=scale, frontier=k, reached=touched, secs=round(dt, 4),
+    for _ in range(max(iters, 2)):
+        _ = bool(jax.device_get(many(mask)[0]))
+    dt = (time.perf_counter() - t0) / (max(iters, 2) * inner)
+    return dict(scale=scale, frontier=k, reached=touched, secs=round(dt, 5),
                 edges_per_s=int(int(a.nnz) / dt))
 
 
