@@ -371,6 +371,10 @@ def _spad_for(w: int, n_class: int, flops_cap: int, pad_cap: int) -> int:
     gran = _width_gran(w)
     sp = max(min(flops_cap // w, pad_cap // w), 1)
     sp = min(sp, -(-n_class // gran) * gran)
+    # NOTE: pad_cap is approximate, not a hard bound — the gran round-up
+    # below can overshoot it by up to one compress tile (lcm(w, 32768)
+    # elements, <= 128 KiB at f32) so class buffers stay whole tiles.
+    # Callers sizing against VMEM/HBM should leave that much headroom.
     return max(-(-sp // gran) * gran, gran)
 
 
@@ -673,10 +677,18 @@ def _seg2_slab_digest_step(
 
 
 def seg2_prepare(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
-                 pad_cap: int = 1 << 28, slab_out_cap: int | None = None):
+                 pad_cap: int = 1 << 28, slab_out_cap: int | None = None,
+                 max_widths: int = 14):
     """Hoistable state for the sorted-row uniform-width digest pipeline:
-    (a2, cfg, b_rp, b_tables, bounds_dev, slab_out_cap)."""
-    a2, cfg = seg2_plan(a, b, flops_cap=flops_cap, pad_cap=pad_cap)
+    (a2, cfg, b_rp, b_tables, bounds_dev, slab_out_cap).
+
+    ``max_widths`` trades compiled shapes for padding: at scale 22 the DP
+    ladder measures pad 1.47 with 15 shapes (14 widths), 1.36 with 21
+    shapes (20), 1.27 with 29 shapes (28).  Callers that amortize compiles
+    across runs (persistent cache) should raise it; a cold one-shot run
+    keeps the default."""
+    a2, cfg = seg2_plan(a, b, flops_cap=flops_cap, pad_cap=pad_cap,
+                        max_widths=max_widths)
     if slab_out_cap is None:
         slab_out_cap = round_capacity_frac(max(cfg["worst_fl"], 2048))
     slab_out_cap = max(-(-slab_out_cap // 128) * 128, 2048)
@@ -717,6 +729,7 @@ def spgemm_streamed_seg2(
     flops_cap: int = 1 << 28,
     pad_cap: int = 1 << 28,
     slab_out_cap: int | None = None,
+    max_widths: int = 14,
     interpret: bool = False,
 ):
     """Slab-streamed digest SpGEMM via the sorted-row uniform-width
@@ -725,7 +738,7 @@ def spgemm_streamed_seg2(
     visited in descending-flops order (digest is row-permutation
     invariant).  Returns (nnz_total, checksum, truncated)."""
     prep = seg2_prepare(a, b, flops_cap=flops_cap, pad_cap=pad_cap,
-                        slab_out_cap=slab_out_cap)
+                        slab_out_cap=slab_out_cap, max_widths=max_widths)
     state = seg_zero_state()
     for s in range(len(prep[1]["slabs"])):
         state = seg2_step(b, prep, s, state, sr, interpret=interpret)

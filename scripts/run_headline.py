@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--scales", type=int, nargs="+", default=[18, 21, 22])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
+    ap.add_argument("--max-widths", type=int, default=20,
+                    help="seg2 width-ladder size: compiled shapes vs "
+                         "padding tradeoff (bench.py uses 20 too)")
     ap.add_argument("--seg", action="store_true",
                     help="segmented (within-row batched sort) pipeline")
     ap.add_argument("--seg2", action="store_true",
@@ -56,7 +59,10 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # same dir as bench.py/conftest so headline warm-ups leave the driver
+    # bench a warm cache (and /tmp survives a repo `git clean`)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/combblas_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -139,7 +145,8 @@ def run_scale(scale, args):
                 seg2_step,
             )
 
-            prep = seg2_prepare(a, b, flops_cap=args.max_flops_cap)
+            prep = seg2_prepare(a, b, flops_cap=args.max_flops_cap,
+                                max_widths=args.max_widths)
             cfg = prep[1]
             num_slabs = len(cfg["slabs"])
             log({"ev": "plan", "scale": scale, "flops": flops,

@@ -148,6 +148,31 @@ def test_seg2_matches_seg_skewed():
     np.testing.assert_allclose(float(cks_2), float(cks_s), rtol=1e-5)
 
 
+@pytest.mark.parametrize("max_widths", [1, 3, 8])
+def test_seg2_max_widths_ladders_agree(max_widths):
+    """The width-ladder size is a padding/compile tradeoff, never a
+    correctness knob: digests must match across ladder choices."""
+    from combblas_tpu.ops.spgemm_seg import spgemm_streamed_seg2
+
+    rng = np.random.default_rng(11)
+    m = k = n = 120
+    ad = np.zeros((m, k), np.float32)
+    for i in range(m):
+        deg = min(int(rng.pareto(0.7) + 1), k)
+        cols = rng.choice(k, size=deg, replace=False)
+        ad[i, cols] = rng.random(deg).astype(np.float32) + 0.1
+    bd = (rng.random((k, n)) < 0.2).astype(np.float32) * 0.5
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    nnz, cks, trunc = spgemm_streamed_seg2(
+        a, b, PLUS_TIMES, flops_cap=1 << 12, pad_cap=1 << 16,
+        max_widths=max_widths, interpret=True)
+    ref = ad.astype(np.float64) @ bd.astype(np.float64)
+    assert not bool(trunc)
+    assert nnz == int((ref != 0).sum())
+    np.testing.assert_allclose(float(cks), ref.sum(), rtol=1e-4)
+
+
 def test_seg2_plan_invariants():
     """Slab bounds cover all live rows; counts/padding consistent; every
     slab's width strictly exceeds its heaviest row's product count."""
