@@ -90,8 +90,37 @@ REF_PRODUCTS_PER_S = REF_BEST_RATE[22]  # ~73.6 M products/s
 SSCA = (0.6, 0.4 / 3, 0.4 / 3, 0.4 / 3)
 
 
+def _kernel_source_key() -> str:
+    """Hash of the SpGEMM kernel sources: a warm-cache marker is only
+    trusted while the code that produced the cached executables is
+    byte-identical (any kernel edit changes every compiled shape)."""
+    import glob
+    import hashlib
+
+    import combblas_tpu.ops.spgemm as m2
+    import combblas_tpu.ops.spgemm_seg as m1
+
+    h = hashlib.sha256()
+    pallas_dir = os.path.join(os.path.dirname(m1.__file__), "pallas")
+    for f in [m1.__file__, m2.__file__] + sorted(
+            glob.glob(os.path.join(pallas_dir, "*.py"))):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _warm_marker_path(scale: int, max_widths: int) -> str:
+    """Marker recording a completed warm sweep for (scale, ladder, code).
+    Lives INSIDE the compile-cache dir so it dies exactly when the cached
+    executables do (fresh boot => no marker => budget-safe ladder)."""
+    return os.path.join(
+        "/tmp/combblas_tpu_jax_cache",
+        f"warm_s{scale}_mw{max_widths}_{_kernel_source_key()}.marker")
+
+
 def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
-                   deadline: float | None = None):
+                   deadline: float | None = None,
+                   max_widths: int | None = None):
     """Headline: A² of the REFERENCE's own generator output at scale
     ``scale`` (SSCA ef8, deterministic seed — bench_ref/inputs.py), through
     the sorted-row uniform-width streamed pipeline (seg2: every product
@@ -138,11 +167,18 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     gen_secs = time.perf_counter() - t_gen
     t_plan = time.perf_counter()
     flops = int(spgemm_flops(a, a))
-    # max_widths=20: pad 1.36 vs 1.47 at the default 14 (~7 s/iter faster
-    # at scale 22) for 21 compiled shapes — which still fits the 1500 s
-    # driver budget even against a COLD compile cache (21 x ~30 s warm +
-    # plan + timed pass ~ 1275 s incl. the cheap lines; measured r5).
-    prep = seg2_prepare(a, a, flops_cap=max_flops_cap, max_widths=20)
+    # Ladder size: 20 rungs (pad 1.36, 21 shapes) fits the 1500 s driver
+    # budget even against a COLD compile cache (21 x ~30 s warm + plan +
+    # timed pass ~ 1275 s incl. the cheap lines; measured r5).  28 rungs
+    # (pad 1.27, ~29 shapes) is ~6 s/iter faster but only safe when every
+    # shape is already compiled — so it is opt-in: used automatically only
+    # when a warm marker proves a prior `--max-widths 28` sweep completed
+    # on this boot with byte-identical kernel code.
+    if max_widths is None:
+        max_widths = 28 if os.path.exists(_warm_marker_path(scale, 28)) \
+            else 20
+    prep = seg2_prepare(a, a, flops_cap=max_flops_cap,
+                        max_widths=max_widths)
     cfg = prep[1]
     num_slabs = len(cfg["slabs"])
     plan_secs = time.perf_counter() - t_plan
@@ -198,11 +234,20 @@ def bench_spgemm22(scale: int, iters: int, max_flops_cap: int,
     dt = time.perf_counter() - t0
     total_lo, total_hi, checksum, truncated = state
     partial = done < num_slabs
+    if not partial:
+        # every shape is now in the persistent cache: record that so the
+        # next run on this boot can afford the finer ladder
+        try:
+            with open(_warm_marker_path(scale, max_widths), "w") as fh:
+                fh.write(f"shapes={len(seen)} slabs={num_slabs}\n")
+        except OSError:
+            pass
     out = dict(
         scale=scale,
         workload=workload,
         nnz_a=int(a.nnz),
         flops=flops,
+        max_widths=max_widths,
         pad_ratio=round(cfg["pad_ratio"], 3),
         slabs_done=done,
         slabs=num_slabs,
@@ -549,6 +594,10 @@ def main():
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--max-flops-cap", type=int, default=1 << 28)
+    ap.add_argument("--max-widths", type=int, default=None,
+                    help="seg2 width-ladder size; default: 28 when a warm "
+                         "marker shows those shapes are cached this boot, "
+                         "else the cold-budget-safe 20")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_SECS", 1500)),
                     help="total wall-clock budget (s); the scale-22 headline "
@@ -626,7 +675,7 @@ def main():
     try:
         deadline = t_start + args.budget
         r = bench_spgemm22(args.scale, args.iters, args.max_flops_cap,
-                           deadline=deadline)
+                           deadline=deadline, max_widths=args.max_widths)
     except Exception as e:
         print(json.dumps({"metric": metric, "error": str(e)}), flush=True)
         return
