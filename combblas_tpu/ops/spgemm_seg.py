@@ -535,9 +535,15 @@ def seg2_plan(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
         flat = f0 < flat_max_fl
         if flat:
             w = min_w
-            # flat slab: every remaining row, cut by the flops budget
+            # flat slab: every remaining row, cut by the flops budget.
+            # The wide-key digest step holds ~71 B of HLO temps per stream
+            # element on TPU (measured: a 2^28-element stream compiles to a
+            # 19.0 G HBM program — OOM on 16 G v5e; 2^27 => ~9.5 G, fits),
+            # so the flat cut is additionally clamped to 2^27 products
+            # regardless of the sort-area budget.
+            flat_cap = min(flops_cap, 1 << 27)
             lim_flops = int(
-                np.searchsorted(fl_cum, fl_cum[r] + flops_cap, side="right")
+                np.searchsorted(fl_cum, fl_cum[r] + flat_cap, side="right")
                 - 1 - r)
             cnt = max(min(lim_flops, R - r), 1)
             s_pad = cnt

@@ -173,6 +173,29 @@ def test_seg2_max_widths_ladders_agree(max_widths):
     np.testing.assert_allclose(float(cks), ref.sum(), rtol=1e-4)
 
 
+def test_seg2_flat_slab_flops_clamped():
+    """Flat (wide-key) slabs are cut at <= 2^27 products regardless of
+    flops_cap: the wide digest step's HLO temps are ~71 B/stream element,
+    so an unclamped 2^28 stream compiles to a 19 GB program (HBM OOM on a
+    16 GB chip; measured at scale 24)."""
+    from combblas_tpu.ops.spgemm_seg import seg2_plan
+
+    rng = np.random.default_rng(5)
+    m = k = n = 400
+    ad = (rng.random((m, k)) < 0.15).astype(np.float32)
+    bd = (rng.random((k, n)) < 0.15).astype(np.float32)
+    a = SpCOO.from_dense(ad)
+    b = SpCOO.from_dense(bd)
+    # a giant budget (largest the sort-limit guard allows) would put every
+    # row in one flat slab without the clamp
+    a2, cfg = seg2_plan(a, b, flops_cap=1 << 30, pad_cap=1 << 30,
+                        flat_max_fl=1 << 20)
+    assert all(sl["flat"] for sl in cfg["slabs"])
+    for sl in cfg["slabs"]:
+        assert sl["flops"] <= (1 << 27)
+        assert sl["flat_stream_cap"] <= (1 << 27) + 32768 + 18 * 128
+
+
 def test_seg2_plan_invariants():
     """Slab bounds cover all live rows; counts/padding consistent; every
     slab's width strictly exceeds its heaviest row's product count."""
