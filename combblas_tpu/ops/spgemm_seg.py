@@ -536,15 +536,22 @@ def seg2_plan(a: SpCOO, b: SpCOO, *, flops_cap: int = 1 << 28,
         if flat:
             w = min_w
             # flat slab: every remaining row, cut by the flops budget.
-            # The wide-key digest step holds ~71 B of HLO temps per stream
-            # element on TPU (measured: a 2^28-element stream compiles to a
-            # 19.0 G HBM program — OOM on 16 G v5e; 2^27 => ~9.5 G, fits),
-            # so the flat cut is additionally clamped to 2^27 products
-            # regardless of the sort-area budget.
+            # TPU HBM bounds for the wide-key digest step (measured at
+            # scale 24 on 16 G v5e): (a) stream temps — a 2^28-element
+            # stream compiles to a 19.0 G program, so clamp flat flops at
+            # 2^27; (b) the (chunk_cap, 8) s32 chunk table pads 16x to the
+            # 128-lane tile (chunk_cap 2^24 alone = two 8.0 G HLO temps),
+            # so also cut by chunk count to stay in the 2^22 pow4 class
+            # (2 G padded each — scale 22's working configuration).
             flat_cap = min(flops_cap, 1 << 27)
             lim_flops = int(
                 np.searchsorted(fl_cum, fl_cum[r] + flat_cap, side="right")
                 - 1 - r)
+            comb = epr_cum + -(-fl_cum // 128)  # ~ nnz + chunks(flops)
+            lim_chunk = int(
+                np.searchsorted(comb, comb[r] + ((1 << 22) - 2),
+                                side="right") - 1 - r)
+            lim_flops = max(min(lim_flops, lim_chunk), 1)
             cnt = max(min(lim_flops, R - r), 1)
             s_pad = cnt
         else:
